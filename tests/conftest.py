@@ -1,0 +1,15 @@
+"""Test configuration: force an 8-device virtual CPU mesh.
+
+Mirrors the reference's LocalTestNet (mpc-net/src/multi.rs:244-294),
+which simulates an n=8-party network in one process: here the 8 parties
+are 8 XLA virtual CPU devices so shard_map programs with the production
+sharding layout run unmodified in CI.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")

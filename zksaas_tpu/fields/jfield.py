@@ -1,0 +1,283 @@
+"""Batched prime-field arithmetic as JAX vector kernels.
+
+Field elements are arrays of shape (..., K) with dtype uint32, holding K
+16-bit limbs (little-endian) in Montgomery form with R = 2^(16K).  All
+ops are elementwise over the leading batch dims and jit-traceable, so
+XLA fuses the limb arithmetic into the surrounding program; the same
+code runs on TPU (VPU int32 lanes) and CPU.
+
+Why 16-bit limbs in uint32 lanes: the TPU vector unit has no widening
+64-bit multiply, but 16x16->32 products are exact in a uint32 lane, and
+partial products can be accumulated lo/hi-split (sums of <= 32 terms of
+16 bits stay < 2^22, far from the 2^32 wrap).
+
+Reference: this replaces arkworks ark-ff MontBackend (used everywhere in
+/root/reference, e.g. secret-sharing/src/pss.rs, dist-primitives).  The
+algorithms (CIOS Montgomery multiply, Fermat inversion, batched
+Montgomery inversion mirroring ark_ff::batch_inversion at
+secret-sharing/src/utils.rs:91) match arkworks semantics; the dataflow
+is redesigned for SIMD lanes instead of u64 scalar chains.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .spec import LIMB_BITS, LIMB_MASK, FieldSpec
+
+_U32 = jnp.uint32
+
+
+def _int_to_limbs(x: int, k: int) -> np.ndarray:
+    return np.array([(x >> (LIMB_BITS * i)) & LIMB_MASK for i in range(k)], dtype=np.uint32)
+
+
+def _limbs_to_int(a) -> int:
+    return sum(int(v) << (LIMB_BITS * i) for i, v in enumerate(a))
+
+
+class Field:
+    """Device arithmetic context for one prime field.
+
+    Instances are cached per spec; methods are pure functions of their
+    array arguments (constants are closed over as numpy literals, so the
+    same traced program is reused across jit scopes).
+    """
+
+    _cache: dict[str, "Field"] = {}
+
+    def __new__(cls, spec: FieldSpec):
+        inst = cls._cache.get(spec.name)
+        if inst is None:
+            inst = super().__new__(cls)
+            inst._init(spec)
+            cls._cache[spec.name] = inst
+        return inst
+
+    def _init(self, spec: FieldSpec) -> None:
+        self.spec = spec
+        self.p = spec.p
+        self.k = spec.nlimbs
+        self.n0inv = np.uint32(spec.n0inv)
+        self.N = _int_to_limbs(spec.p, self.k)  # modulus limbs (np)
+        self.r_mod_p = spec.r_mod_p
+        self._r2 = _int_to_limbs(spec.r2_mod_p, self.k)
+        self._one_mont = _int_to_limbs(spec.r_mod_p, self.k)
+        self._zero = np.zeros(self.k, dtype=np.uint32)
+        # exponent bits of p-2 (MSB first) for Fermat inversion
+        e = spec.p - 2
+        self._inv_bits = np.array(
+            [(e >> i) & 1 for i in reversed(range(e.bit_length()))], dtype=np.uint32
+        )
+
+    # ------------------------------------------------------------------
+    # host <-> device conversion
+    # ------------------------------------------------------------------
+
+    def encode(self, xs) -> np.ndarray:
+        """Python ints (nested lists ok) -> Montgomery-form limb array."""
+        arr = np.asarray(xs, dtype=object)
+        flat = arr.reshape(-1)
+        out = np.empty((flat.shape[0], self.k), dtype=np.uint32)
+        for i, v in enumerate(flat):
+            out[i] = _int_to_limbs((int(v) * self.spec.r_mod_p) % self.p, self.k)
+        return out.reshape(arr.shape + (self.k,))
+
+    def decode(self, a) -> np.ndarray:
+        """Montgomery-form limb array -> object ndarray of Python ints."""
+        a = np.asarray(jax.device_get(a))
+        shape = a.shape[:-1]
+        flat = a.reshape(-1, self.k)
+        rinv = pow(self.spec.R, -1, self.p)
+        out = np.empty(flat.shape[0], dtype=object)
+        for i in range(flat.shape[0]):
+            out[i] = (_limbs_to_int(flat[i]) * rinv) % self.p
+        return out.reshape(shape) if shape else out[0]
+
+    def zeros(self, shape=()) -> jnp.ndarray:
+        return jnp.broadcast_to(jnp.asarray(self._zero), tuple(shape) + (self.k,))
+
+    def ones(self, shape=()) -> jnp.ndarray:
+        return jnp.broadcast_to(jnp.asarray(self._one_mont), tuple(shape) + (self.k,))
+
+    def const(self, x: int, shape=()) -> jnp.ndarray:
+        """Embed a Python int constant as a (broadcast) device element."""
+        limbs = _int_to_limbs((x % self.p) * self.spec.r_mod_p % self.p, self.k)
+        return jnp.broadcast_to(jnp.asarray(limbs), tuple(shape) + (self.k,))
+
+    # ------------------------------------------------------------------
+    # limb helpers
+    # ------------------------------------------------------------------
+
+    def _carry(self, limbs):
+        """Propagate carries so every limb is < 2^16; returns (limbs, top)."""
+        k = limbs.shape[-1]
+        outs = []
+        carry = jnp.zeros(limbs.shape[:-1], dtype=_U32)
+        for i in range(k):
+            t = limbs[..., i] + carry
+            outs.append(t & LIMB_MASK)
+            carry = t >> LIMB_BITS
+        return jnp.stack(outs, axis=-1), carry
+
+    def _sub_p(self, a):
+        """(a - p) limbwise; returns (diff, borrow_out)."""
+        outs = []
+        borrow = jnp.zeros(a.shape[:-1], dtype=_U32)
+        for i in range(self.k):
+            ni = np.uint32(self.N[i])
+            t = (a[..., i] - ni - borrow) & LIMB_MASK
+            borrow = (a[..., i] < ni + borrow).astype(_U32)
+            outs.append(t)
+        return jnp.stack(outs, axis=-1), borrow
+
+    def _cond_sub_p(self, a, top):
+        """Reduce a value known to be < 2p (with possible carry bit `top`)."""
+        sub, borrow = self._sub_p(a)
+        ge = jnp.logical_or(top > 0, borrow == 0)
+        return jnp.where(ge[..., None], sub, a)
+
+    # ------------------------------------------------------------------
+    # core arithmetic (Montgomery form in, Montgomery form out)
+    # ------------------------------------------------------------------
+
+    def add(self, a, b):
+        s, top = self._carry(a + b)
+        return self._cond_sub_p(s, top)
+
+    def sub(self, a, b):
+        outs = []
+        borrow = jnp.zeros(jnp.broadcast_shapes(a.shape, b.shape)[:-1], dtype=_U32)
+        a = jnp.broadcast_to(a, borrow.shape + (self.k,))
+        b = jnp.broadcast_to(b, borrow.shape + (self.k,))
+        for i in range(self.k):
+            t = (a[..., i] - b[..., i] - borrow) & LIMB_MASK
+            borrow_next = (a[..., i] < b[..., i] + borrow).astype(_U32)
+            outs.append(t)
+            borrow = borrow_next
+        d = jnp.stack(outs, axis=-1)
+        # if we borrowed, add p back
+        addp, _ = self._carry(d + jnp.asarray(self.N) * borrow[..., None])
+        return jnp.where((borrow > 0)[..., None], addp, d)
+
+    def neg(self, a):
+        return self.sub(self.zeros(a.shape[:-1]), a)
+
+    def mul(self, a, b):
+        """Montgomery product a*b*R^-1 mod p."""
+        k = self.k
+        shape = jnp.broadcast_shapes(a.shape, b.shape)
+        a = jnp.broadcast_to(a, shape)
+        b = jnp.broadcast_to(b, shape)
+        batch = shape[:-1]
+        acc = jnp.zeros(batch + (2 * k + 1,), dtype=_U32)
+        # schoolbook product, lo/hi split accumulation
+        for i in range(k):
+            pprod = a[..., i : i + 1] * b  # exact 16x16 -> 32
+            acc = acc.at[..., i : i + k].add(pprod & LIMB_MASK)
+            acc = acc.at[..., i + 1 : i + k + 1].add(pprod >> LIMB_BITS)
+        # interleaved Montgomery reduction (one limb at a time)
+        Nj = jnp.asarray(self.N)
+        for i in range(k):
+            m = (acc[..., i] * self.n0inv) & LIMB_MASK
+            pprod = m[..., None] * Nj
+            acc = acc.at[..., i : i + k].add(pprod & LIMB_MASK)
+            acc = acc.at[..., i + 1 : i + k + 1].add(pprod >> LIMB_BITS)
+            acc = acc.at[..., i + 1].add(acc[..., i] >> LIMB_BITS)
+        res, top = self._carry(acc[..., k : 2 * k])
+        top = top + acc[..., 2 * k]  # the overflow limb (already carried into)
+        return self._cond_sub_p(res, top)
+
+    def square(self, a):
+        return self.mul(a, a)
+
+    def muli(self, a, c: int):
+        """Multiply by a static Python-int constant."""
+        return self.mul(a, self.const(c, a.shape[:-1]))
+
+    # ------------------------------------------------------------------
+    # predicates / select
+    # ------------------------------------------------------------------
+
+    def is_zero(self, a):
+        return jnp.all(a == 0, axis=-1)
+
+    def eq(self, a, b):
+        return jnp.all(a == b, axis=-1)  # Montgomery form is canonical (< p)
+
+    def select(self, cond, a, b):
+        return jnp.where(cond[..., None], a, b)
+
+    # ------------------------------------------------------------------
+    # inversion / exponentiation
+    # ------------------------------------------------------------------
+
+    def inv(self, a):
+        """Fermat inversion a^(p-2); returns 0 for input 0 (like
+        arkworks' Option -> the callers here never invert 0 on the hot
+        path)."""
+        bits = jnp.asarray(self._inv_bits)
+        one = self.ones(a.shape[:-1])
+
+        def body(i, acc):
+            acc = self.square(acc)
+            return self.select(bits[i] > 0, self.mul(acc, a), acc)
+
+        return jax.lax.fori_loop(0, bits.shape[0], body, one)
+
+    def pow_const(self, a, e: int):
+        """a^e for a static small exponent (unrolled square-and-multiply)."""
+        if e == 0:
+            return self.ones(a.shape[:-1])
+        acc = None
+        for bit in bin(e)[2:]:
+            acc = self.square(acc) if acc is not None else a
+            if bit == "1" and acc is not a:
+                acc = self.mul(acc, a)
+        return acc
+
+    def batch_inv(self, x, axis: int = 0):
+        """Montgomery batched inversion along `axis` (one Fermat inversion
+        plus O(m log m) muls via parallel prefix/suffix products).
+        Zeros map to zeros, mirroring ark_ff::batch_inversion."""
+        x = jnp.moveaxis(x, axis, 0)
+        zero_mask = self.is_zero(x)
+        safe = self.select(zero_mask, self.ones(x.shape[:-1]), x)
+        prefix = jax.lax.associative_scan(self.mul, safe, axis=0)
+        suffix = jax.lax.associative_scan(self.mul, safe[::-1], axis=0)[::-1]
+        total_inv = self.inv(prefix[-1])
+        one = self.ones(x.shape[1:-1])[None]
+        p_prev = jnp.concatenate([one, prefix[:-1]], axis=0)
+        s_next = jnp.concatenate([suffix[1:], one], axis=0)
+        out = self.mul(self.mul(p_prev, s_next), total_inv[None])
+        out = self.select(zero_mask, self.zeros(x.shape[:-1]), out)
+        return jnp.moveaxis(out, 0, axis)
+
+    # ------------------------------------------------------------------
+    # randomness (uniform field elements, on device)
+    # ------------------------------------------------------------------
+
+    def rand(self, key, shape=()):
+        """Uniform field elements in Montgomery form.  Samples 2K 16-bit
+        limbs (twice the modulus width) and reduces, so the mod-p bias is
+        ~2^-256 — fixing the reference's use of a fixed test rng for
+        king-side repacking (dfft/mod.rs:251)."""
+        shape = tuple(shape)
+        raw = jax.random.bits(key, shape=shape + (2 * self.k,), dtype=jnp.uint32) & LIMB_MASK
+        lo, hi = raw[..., : self.k], raw[..., self.k :]
+        r2 = jnp.asarray(self._r2)
+        hi_red = self.mul(hi, jnp.broadcast_to(r2, hi.shape))  # hi * R mod p
+        # reduce lo (< R < 2^2 * p typically) by repeated conditional subtraction
+        lo_red = lo
+        for _ in range(self.spec.R // self.p + 1):
+            lo_red = self._cond_sub_p(lo_red, jnp.zeros(shape, dtype=_U32))
+        return self.add(hi_red, lo_red)
+
+
+@functools.cache
+def field(spec: FieldSpec) -> Field:
+    return Field(spec)
