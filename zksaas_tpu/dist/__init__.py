@@ -1,0 +1,17 @@
+from .dfft import FftMask, d_fft, d_ifft, fft1_local, fft2_king
+from .deg_red import DegRedMask, deg_red
+from .dmsm import MsmMask, d_msm
+from .dpp import d_pp
+
+__all__ = [
+    "FftMask",
+    "d_fft",
+    "d_ifft",
+    "fft1_local",
+    "fft2_king",
+    "DegRedMask",
+    "deg_red",
+    "MsmMask",
+    "d_msm",
+    "d_pp",
+]

@@ -1,0 +1,81 @@
+"""Distributed MSM (dist-primitives/src/dmsm/mod.rs).
+
+Each party MSMs its packed base/scalar shares locally (the hot loop,
+dmsm/mod.rs:73), masks, and sends ONE group element to the king; the
+king unpacks (dropout-aware), sums the l unpacked secrets into the
+final value, and re-broadcasts it as a repeated packed sharing
+(dmsm/mod.rs:59-102).  Communication is O(1) group elements per party
+regardless of m."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from ..curves.jcurve import JCurve
+from ..pss.pss import PackedSharingParams
+
+
+def d_msm(pp: PackedSharingParams, curve: JCurve, bases_share, scalars_share, mask, net, channel=0):
+    """bases_share: points with trailing chunk axis (..., m/l);
+    scalars_share: (..., m/l, K).  Returns one point per party (packed
+    sharing of the MSM value, repeated l times)."""
+    prods = curve.scalar_mul(bases_share, scalars_share)
+    c_share = curve.sum(prods, axis=-1)  # local Pippenger stand-in
+    c_share = curve.add(c_share, mask.in_mask)
+
+    def king_fn(shares, parties):
+        # shares: points with leading axis (n_present,)
+        secrets = pp.unpack_missing_shares_g(curve, shares, parties)  # (l,)
+        total = curve.sum(secrets, axis=0)
+        return tuple(
+            jnp.broadcast_to(c[None], (pp.n,) + c.shape) for c in total
+        )
+
+    result = net.round(c_share, king_fn, channel)
+    return curve.add(result, mask.out_mask)
+
+
+@dataclass
+class MsmMask:
+    """One random group-element mask per party (dmsm/mod.rs:10-57).
+
+    in_mask_pts / out_mask_pts: point tuples with leading party axis n;
+    out masks sum-correct so that unpack2(results) - masks telescopes:
+    out_mask value = -(sum of in_mask secrets) (dmsm/mod.rs:32-38)."""
+
+    in_mask: tuple
+    out_mask: tuple
+
+    @staticmethod
+    def sample(pp: PackedSharingParams, curve: JCurve, key):
+        F = pp.F
+        k_s, k_in, k_out = jax.random.split(key, 3)
+        # l random group elements (gen * random scalar)
+        scal = F.rand(k_s, (pp.l,))
+        gen = curve.encode([curve.ref.gen] * pp.l)
+        vals = curve.scalar_mul(gen, scal)  # (l,) points
+        out_val = curve.neg(curve.sum(vals, axis=0))
+        # pack the l values -> n shares (random pads = random points)
+        def rand_pts(k, cnt):
+            s = F.rand(k, (cnt,))
+            g = curve.encode([curve.ref.gen] * cnt)
+            return curve.scalar_mul(g, s)
+
+        in_shares = pp.pack_g(curve, vals, rand_pts(k_in, pp.t))
+        rep = tuple(jnp.broadcast_to(c[None], (pp.l,) + c.shape) for c in out_val)
+        out_shares = pp.pack_g(curve, rep, rand_pts(k_out, pp.t))
+        return MsmMask(in_mask=in_shares, out_mask=out_shares)
+
+    @staticmethod
+    def zero(pp: PackedSharingParams, curve: JCurve):
+        inf = curve.infinity((pp.n,))
+        return MsmMask(in_mask=inf, out_mask=inf)
+
+    def party(self, i):
+        return MsmMask(
+            in_mask=tuple(c[i] for c in self.in_mask),
+            out_mask=tuple(c[i] for c in self.out_mask),
+        )

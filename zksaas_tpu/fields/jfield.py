@@ -67,6 +67,8 @@ class Field:
         self.r_mod_p = spec.r_mod_p
         self._r2 = _int_to_limbs(spec.r2_mod_p, self.k)
         self._one_mont = _int_to_limbs(spec.r_mod_p, self.k)
+        # N' = -p^(-1) mod R (for the separated Montgomery reduction)
+        self._nprime = _int_to_limbs((-pow(spec.p, -1, spec.R)) % spec.R, self.k)
         self._zero = np.zeros(self.k, dtype=np.uint32)
         # exponent bits of p-2 (MSB first) for Fermat inversion
         e = spec.p - 2
@@ -113,27 +115,57 @@ class Field:
     # limb helpers
     # ------------------------------------------------------------------
 
+    @staticmethod
+    def _shift_up(x, d: int = 1):
+        """Shift limbs toward higher indices (multiply by 2^(16 d)),
+        returning (shifted, spill) where spill = the dropped top limbs'
+        sum-contribution as a scalar-per-batch (only d=1 spill used)."""
+        z = jnp.zeros(x.shape[:-1] + (d,), dtype=x.dtype)
+        return jnp.concatenate([z, x[..., :-d]], axis=-1)
+
     def _carry(self, limbs):
-        """Propagate carries so every limb is < 2^16; returns (limbs, top)."""
+        """Exact carry propagation of redundant columns (< 2^22 each)
+        into 16-bit limbs, in log depth (2 value rounds + Kogge-Stone
+        for the residual 1-bit ripple); returns (limbs, top_carry)."""
         k = limbs.shape[-1]
-        outs = []
-        carry = jnp.zeros(limbs.shape[:-1], dtype=_U32)
-        for i in range(k):
-            t = limbs[..., i] + carry
-            outs.append(t & LIMB_MASK)
-            carry = t >> LIMB_BITS
-        return jnp.stack(outs, axis=-1), carry
+        top = jnp.zeros(limbs.shape[:-1], dtype=_U32)
+        # round 1: peel the >16-bit part (up to ~6 bits)
+        h = limbs >> LIMB_BITS
+        s = (limbs & LIMB_MASK) + self._shift_up(h)
+        top = top + h[..., -1]
+        # round 2: limbs now < 2^16 + 2^6; peel again (0/1 carries)
+        h = s >> LIMB_BITS
+        s = (s & LIMB_MASK) + self._shift_up(h)
+        top = top + h[..., -1]
+        # s_i <= 2^16: resolve the remaining ripple with Kogge-Stone
+        g = (s >> LIMB_BITS).astype(_U32)  # generates (s_i == 2^16)
+        p = (s == LIMB_MASK).astype(_U32)  # propagates
+        d = 1
+        while d < k:
+            gs = self._shift_up(g, d)
+            ps = self._shift_up(p, d)
+            g = g | (p & gs)
+            p = p & ps
+            d *= 2
+        carry_in = self._shift_up(g)
+        t = s + carry_in
+        top = top + g[..., -1]
+        return t & LIMB_MASK, top
+
+    def _sub_limbs(self, a, b_comp):
+        """a - b via complement addition: a + (~b) + 1, log-depth carry.
+        b_comp = (0xffff - b_i) limbs.  Returns (diff, no_borrow)."""
+        e0 = np.zeros(self.k, dtype=np.uint32)
+        e0[0] = 1
+        cols = a + b_comp + jnp.asarray(e0)
+        diff, carry = self._carry(cols)
+        return diff, carry  # carry==1  <=>  a >= b (no borrow)
 
     def _sub_p(self, a):
         """(a - p) limbwise; returns (diff, borrow_out)."""
-        outs = []
-        borrow = jnp.zeros(a.shape[:-1], dtype=_U32)
-        for i in range(self.k):
-            ni = np.uint32(self.N[i])
-            t = (a[..., i] - ni - borrow) & LIMB_MASK
-            borrow = (a[..., i] < ni + borrow).astype(_U32)
-            outs.append(t)
-        return jnp.stack(outs, axis=-1), borrow
+        comp = np.uint32(LIMB_MASK) - self.N
+        diff, no_borrow = self._sub_limbs(a, jnp.asarray(comp))
+        return diff, (no_borrow == 0).astype(_U32)
 
     def _cond_sub_p(self, a, top):
         """Reduce a value known to be < 2p (with possible carry bit `top`)."""
@@ -145,56 +177,90 @@ class Field:
     # core arithmetic (Montgomery form in, Montgomery form out)
     # ------------------------------------------------------------------
 
+    @functools.partial(jax.jit, static_argnums=0)
     def add(self, a, b):
         s, top = self._carry(a + b)
         return self._cond_sub_p(s, top)
 
+    @functools.partial(jax.jit, static_argnums=0)
     def sub(self, a, b):
-        outs = []
-        borrow = jnp.zeros(jnp.broadcast_shapes(a.shape, b.shape)[:-1], dtype=_U32)
-        a = jnp.broadcast_to(a, borrow.shape + (self.k,))
-        b = jnp.broadcast_to(b, borrow.shape + (self.k,))
-        for i in range(self.k):
-            t = (a[..., i] - b[..., i] - borrow) & LIMB_MASK
-            borrow_next = (a[..., i] < b[..., i] + borrow).astype(_U32)
-            outs.append(t)
-            borrow = borrow_next
-        d = jnp.stack(outs, axis=-1)
+        shape = jnp.broadcast_shapes(a.shape, b.shape)
+        a = jnp.broadcast_to(a, shape)
+        b = jnp.broadcast_to(b, shape)
+        d, no_borrow = self._sub_limbs(a, np.uint32(LIMB_MASK) - b)
         # if we borrowed, add p back
-        addp, _ = self._carry(d + jnp.asarray(self.N) * borrow[..., None])
-        return jnp.where((borrow > 0)[..., None], addp, d)
+        addp, _ = self._carry(d + jnp.asarray(self.N))
+        return jnp.where((no_borrow == 0)[..., None], addp, d)
 
+    @functools.partial(jax.jit, static_argnums=0)
     def neg(self, a):
         return self.sub(self.zeros(a.shape[:-1]), a)
 
+    @staticmethod
+    def _skew_sum(mat, kout: int):
+        """Anti-diagonal sums out[c] = sum_i mat[..., i, c-i] via the
+        pad-flatten-reshape skew trick (pure data movement + one
+        reduction; no gathers, no dynamic-update-slices)."""
+        rr, cc = mat.shape[-2:]
+        w = rr + cc - 1
+        padded = jnp.pad(mat, [(0, 0)] * (mat.ndim - 1) + [(0, w + 1 - cc)])
+        flat = padded.reshape(mat.shape[:-2] + (rr * (w + 1),))
+        flat = flat[..., : rr * w]
+        skewed = flat.reshape(mat.shape[:-2] + (rr, w))
+        out = jnp.sum(skewed, axis=-2, dtype=_U32)[..., :kout]
+        if w < kout:
+            out = jnp.pad(out, [(0, 0)] * (out.ndim - 1) + [(0, kout - w)])
+        return out
+
+    def _prod_cols(self, a, b, kout: int):
+        """Redundant product columns col[c] = sum_{i+j=c} a_i * b_j with
+        lo/hi 16-bit split so every column stays < 2^22 (no widening
+        multiply needed)."""
+        pp = a[..., :, None] * b[..., None, :]  # (..., klhs, k) exact 16x16
+        cols = self._skew_sum(pp & LIMB_MASK, kout)
+        hi_cols = self._skew_sum(pp >> LIMB_BITS, kout)
+        # hi contributes one column later
+        return cols + jnp.concatenate(
+            [jnp.zeros_like(hi_cols[..., :1]), hi_cols[..., : kout - 1]], axis=-1
+        )
+
+    def _carry_full(self, cols):
+        """Normalize redundant columns (each < 2^22) into 16-bit limbs;
+        returns (limbs, carry_out)."""
+        return self._carry(cols)
+
+    @functools.partial(jax.jit, static_argnums=0)
     def mul(self, a, b):
-        """Montgomery product a*b*R^-1 mod p."""
+        """Montgomery product a*b*R^-1 mod p (separated reduction:
+        T = a*b;  m = (T mod R)*N' mod R;  out = (T + m*p)/R)."""
         k = self.k
         shape = jnp.broadcast_shapes(a.shape, b.shape)
         a = jnp.broadcast_to(a, shape)
         b = jnp.broadcast_to(b, shape)
-        batch = shape[:-1]
-        acc = jnp.zeros(batch + (2 * k + 1,), dtype=_U32)
-        # schoolbook product, lo/hi split accumulation
-        for i in range(k):
-            pprod = a[..., i : i + 1] * b  # exact 16x16 -> 32
-            acc = acc.at[..., i : i + k].add(pprod & LIMB_MASK)
-            acc = acc.at[..., i + 1 : i + k + 1].add(pprod >> LIMB_BITS)
-        # interleaved Montgomery reduction (one limb at a time)
-        Nj = jnp.asarray(self.N)
-        for i in range(k):
-            m = (acc[..., i] * self.n0inv) & LIMB_MASK
-            pprod = m[..., None] * Nj
-            acc = acc.at[..., i : i + k].add(pprod & LIMB_MASK)
-            acc = acc.at[..., i + 1 : i + k + 1].add(pprod >> LIMB_BITS)
-            acc = acc.at[..., i + 1].add(acc[..., i] >> LIMB_BITS)
-        res, top = self._carry(acc[..., k : 2 * k])
-        top = top + acc[..., 2 * k]  # the overflow limb (already carried into)
+        T = self._prod_cols(a, b, 2 * k)  # redundant columns
+        t_lo, _ = self._carry(T[..., :k])  # T mod R, normalized
+        nprime = jnp.asarray(self._nprime)
+        m_cols = self._prod_cols(t_lo, jnp.broadcast_to(nprime, t_lo.shape), k)
+        m, _ = self._carry(m_cols)  # m = T*N' mod R, normalized
+        U = self._prod_cols(m, jnp.broadcast_to(jnp.asarray(self.N), m.shape), 2 * k)
+        S = T + U  # columns < 2^23
+        # (T + m*p) / R: low k limbs vanish; propagate their carries up
+        full, top = self._carry(S)
+        res = full[..., k:]
         return self._cond_sub_p(res, top)
 
+    @functools.partial(jax.jit, static_argnums=0)
     def square(self, a):
         return self.mul(a, a)
 
+    @functools.partial(jax.jit, static_argnums=0)
+    def from_mont(self, a):
+        """Montgomery form -> raw integer limbs (montmul by literal 1)."""
+        one_raw = np.zeros(self.k, dtype=np.uint32)
+        one_raw[0] = 1
+        return self.mul(a, jnp.broadcast_to(jnp.asarray(one_raw), a.shape))
+
+    @functools.partial(jax.jit, static_argnums=(0, 2))
     def muli(self, a, c: int):
         """Multiply by a static Python-int constant."""
         return self.mul(a, self.const(c, a.shape[:-1]))
@@ -202,6 +268,21 @@ class Field:
     # ------------------------------------------------------------------
     # predicates / select
     # ------------------------------------------------------------------
+
+    def sum(self, x, axis: int = 0):
+        """Tree-reduce field sum along a batch axis."""
+        if axis < 0:
+            axis += x.ndim - 1
+        x = jnp.moveaxis(x, axis, 0)
+        n = x.shape[0]
+        while n > 1:
+            half = n // 2
+            s = self.add(x[: 2 * half : 2], x[1 : 2 * half : 2])
+            if n % 2:
+                s = jnp.concatenate([s, x[-1:]], axis=0)
+            x = s
+            n = x.shape[0]
+        return x[0]
 
     def is_zero(self, a):
         return jnp.all(a == 0, axis=-1)
@@ -216,6 +297,7 @@ class Field:
     # inversion / exponentiation
     # ------------------------------------------------------------------
 
+    @functools.partial(jax.jit, static_argnums=0)
     def inv(self, a):
         """Fermat inversion a^(p-2); returns 0 for input 0 (like
         arkworks' Option -> the callers here never invert 0 on the hot
@@ -229,6 +311,7 @@ class Field:
 
         return jax.lax.fori_loop(0, bits.shape[0], body, one)
 
+    @functools.partial(jax.jit, static_argnums=(0, 2))
     def pow_const(self, a, e: int):
         """a^e for a static small exponent (unrolled square-and-multiply)."""
         if e == 0:
@@ -240,6 +323,7 @@ class Field:
                 acc = self.mul(acc, a)
         return acc
 
+    @functools.partial(jax.jit, static_argnums=(0, 2))
     def batch_inv(self, x, axis: int = 0):
         """Montgomery batched inversion along `axis` (one Fermat inversion
         plus O(m log m) muls via parallel prefix/suffix products).
@@ -261,6 +345,7 @@ class Field:
     # randomness (uniform field elements, on device)
     # ------------------------------------------------------------------
 
+    @functools.partial(jax.jit, static_argnums=(0, 2))
     def rand(self, key, shape=()):
         """Uniform field elements in Montgomery form.  Samples 2K 16-bit
         limbs (twice the modulus width) and reduces, so the mod-p bias is
