@@ -1,0 +1,88 @@
+"""Benchmark: distributed-MSM local hot loop, points/sec/chip.
+
+Measures the per-party d_msm local stage (the reference's hot loop,
+G::msm at dist-primitives/src/dmsm/mod.rs:73) on this chip: batched
+variable-base scalar multiplication over BN254 G1 plus the tree
+reduction, exactly the kernel every party runs inside d_msm.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "points/s/chip", "vs_baseline": N}
+
+vs_baseline compares against the self-measured round-1 number stored in
+BASELINE_SELF.json (the reference publishes no numbers; BASELINE.md).
+"""
+
+import json
+import os
+import random
+import time
+
+import jax
+
+from zksaas_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    m = int(os.environ.get("BENCH_MSM_SIZE", 1 << 14))
+    iters = int(os.environ.get("BENCH_ITERS", 3))
+
+    from zksaas_tpu.curves import curve_g1
+    from zksaas_tpu.fields import BN254_FR, field
+
+    C = curve_g1()
+    F = field(BN254_FR)
+
+    # bases: a few distinct points tiled to m (host point-gen is slow;
+    # the kernel cost is data-independent)
+    rng = random.Random(5)
+    base_pts = [C.ref.rand(rng) for _ in range(8)]
+    P = C.encode(base_pts * (m // 8))
+    scalars = F.rand(jax.random.PRNGKey(0), (m,))
+
+    msm = jax.jit(C.msm)
+    t0 = time.time()
+    out = msm(P, scalars)
+    jax.block_until_ready(out)
+    compile_s = time.time() - t0
+
+    times = []
+    for _ in range(iters):
+        t0 = time.time()
+        out = msm(P, scalars)
+        jax.block_until_ready(out)
+        times.append(time.time() - t0)
+    dt = min(times)
+    pts_per_s = m / dt
+
+    base_path = os.path.join(os.path.dirname(__file__), "BASELINE_SELF.json")
+    vs = 1.0
+    if os.path.exists(base_path):
+        with open(base_path) as f:
+            base = json.load(f).get("dmsm_points_per_s_per_chip")
+        if base:
+            vs = pts_per_s / base
+
+    print(
+        json.dumps(
+            {
+                "metric": "dmsm_local_msm_points_per_s_per_chip",
+                "value": round(pts_per_s, 1),
+                "unit": "points/s/chip",
+                "vs_baseline": round(vs, 3),
+                "detail": {
+                    "m": m,
+                    "iter_s": round(dt, 4),
+                    "compile_s": round(compile_s, 1),
+                    "device": str(jax.devices()[0]),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

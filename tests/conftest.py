@@ -13,3 +13,9 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+# Persistent compilation cache: the limb-arithmetic graphs are large and
+# XLA:CPU compile times dominate the suite; cache compiled executables
+# across runs.
+from zksaas_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()

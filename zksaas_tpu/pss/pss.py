@@ -132,7 +132,7 @@ class PackedSharingParams:
     def _matvec(self, M_enc, x):
         F = self.F
         prod = F.mul(M_enc, x[..., None, :, :])  # (..., r, c, K)
-        return F.sum(prod, axis=-2)
+        return F.sum(prod, axis=-1)  # tree-sum the c axis (last batch dim)
 
     @functools.partial(jax.jit, static_argnums=0)
     def pack(self, secrets, rand):
