@@ -8,7 +8,10 @@ sharding layout run unmodified in CI.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force CPU: the ambient environment pins JAX_PLATFORMS=axon (the real
+# TPU tunnel); tests must run on the 8-device virtual CPU mesh and must
+# not contend for the single tunneled chip.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
@@ -16,6 +19,12 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 # Persistent compilation cache: the limb-arithmetic graphs are large and
 # XLA:CPU compile times dominate the suite; cache compiled executables
 # across runs.
+import jax
+
+# something in the environment pins jax_platforms to "axon,cpu"
+# regardless of JAX_PLATFORMS; force the virtual CPU mesh explicitly
+jax.config.update("jax_platforms", "cpu")
+
 from zksaas_tpu.utils.cache import enable_compilation_cache
 
 enable_compilation_cache()

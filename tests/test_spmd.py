@@ -65,7 +65,7 @@ def test_spmd_d_ifft_matches_oracle(mesh):
         out = d_ifft(pp, sh[0], m, False, dom, 1, net, key)
         return out[None]
 
-    out = step(shares, (mask.in_mask, mask.out_mask), k3)
+    out = jnp.asarray(np.asarray(jax.device_get(step(shares, (mask.in_mask, mask.out_mask), k3))))
     # dealer unpack (natural chunk order)
     secrets = pp.unpack(jnp.swapaxes(out, 0, 1))
     got = list(F.decode(secrets.reshape(-1, F.k)))
@@ -98,6 +98,6 @@ def test_spmd_deg_red_matches_local(mesh):
         m = DegRedMask(in_mask=mask_arrays[0][0], out_mask=mask_arrays[1][0])
         return deg_red(pp, x[0], m, net, key)[None]
 
-    out = step(mul_shares, (mask.in_mask, mask.out_mask), k3)
+    out = jnp.asarray(np.asarray(jax.device_get(step(mul_shares, (mask.in_mask, mask.out_mask), k3))))
     got = pp.unpack(jnp.swapaxes(out, 0, 1))
     assert list(F.decode(got)[0]) == expected
