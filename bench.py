@@ -50,9 +50,11 @@ def main():
     compile_s = time.time() - t0
 
     times = []
-    for _ in range(iters):
+    for i in range(iters):
+        fresh = F.rand(jax.random.PRNGKey(100 + i), (m,))  # defeat caching
+        jax.block_until_ready(fresh)
         t0 = time.time()
-        out = msm(P, scalars)
+        out = msm(P, fresh)
         jax.block_until_ready(out)
         times.append(time.time() - t0)
     dt = min(times)

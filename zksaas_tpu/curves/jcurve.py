@@ -288,10 +288,12 @@ class JCurve:
 
     @functools.partial(jax.jit, static_argnums=0)
     def scalar_mul(self, P, scalars_mont):
-        """Batched variable-base scalar mul: out[...] = P[...] * s[...].
+        """Batched variable-base scalar mul: out[...] = P[...] * s[...]
+        (binary double-and-add; small traced graph, used for modest
+        batches — the MSM hot path uses scalar_mul_w4).
 
-        scalars_mont: Fr elements in Montgomery form, batch-shaped like P
-        with a trailing (Kr,) limb axis.  fori_loop double-and-add."""
+        scalars_mont: Fr elements in Montgomery form, batch-shaped like
+        P with a trailing (Kr,) limb axis."""
         fr = self.fr
         raw = fr.from_mont(scalars_mont)
         nbits = fr.spec.bits
@@ -305,6 +307,53 @@ class JCurve:
 
         acc0 = self.infinity(self.batch_shape(P))
         return jax.lax.fori_loop(0, nbits, body, acc0)
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def scalar_mul_w4(self, P, scalars_mont):
+        """Windowed (c = 4) variable-base scalar mul for the MSM hot
+        loop: a per-element 16-entry multiples table (14 adds), then 64
+        iterations of 4 doublings + one table add.  Table lookup is a
+        4-level binary select tree on the digit bits — pure vector
+        selects, no gathers.  ~334 point ops/scalar vs ~508 binary."""
+        fr = self.fr
+        raw = fr.from_mont(scalars_mont)
+        c = 4
+        nbits = fr.spec.bits
+        n_windows = -(-nbits // c)
+        per_limb = LIMB_BITS // c
+
+        tbl = [self.infinity(self.batch_shape(P)), P]
+        for _ in range(14):
+            tbl.append(self.add(tbl[-1], P))
+        T = tuple(jnp.stack([t[k] for t in tbl], axis=0) for k in range(3))
+
+        def lookup(digit):
+            cur = T
+            size = 16
+            for b in reversed(range(c)):
+                size //= 2
+                bit = ((digit >> b) & 1) > 0
+                cur = tuple(
+                    jnp.where(
+                        bit[(None,) + (...,) + (None,) * (co.ndim - 1 - bit.ndim)],
+                        co[size:],
+                        co[:size],
+                    )
+                    for co in cur
+                )
+            return tuple(co[0] for co in cur)
+
+        def body(i, acc):
+            j = n_windows - 1 - i
+            for _ in range(c):
+                acc = self.double(acc)
+            limb = jnp.take(raw, j // per_limb, axis=-1)
+            shift = (np.uint32(c) * (j % per_limb).astype(jnp.uint32))
+            digit = (limb >> shift) & ((1 << c) - 1)
+            return self.add(acc, lookup(digit))
+
+        acc0 = self.infinity(self.batch_shape(P))
+        return jax.lax.fori_loop(0, n_windows, body, acc0)
 
     def scalar_mul_int(self, P, c: int):
         """P * c for a host-int scalar (encoded then batched scalar_mul)."""
@@ -335,8 +384,14 @@ class JCurve:
     @functools.partial(jax.jit, static_argnums=0)
     def msm(self, P, scalars_mont):
         """sum_i P[i] * s[i] along axis 0 (the d_msm local hot loop,
-        dmsm/mod.rs:73)."""
-        return self.sum(self.scalar_mul(P, scalars_mont), axis=0)
+        dmsm/mod.rs:73).  Windowed on TPU (bigger graph, compiled via
+        the Pallas mul in seconds); binary on CPU where compile time of
+        the unrolled table would dominate the test suite."""
+        if self.fr._pallas_enabled():
+            prods = self.scalar_mul_w4(P, scalars_mont)
+        else:
+            prods = self.scalar_mul(P, scalars_mont)
+        return self.sum(prods, axis=0)
 
     # -- linear maps (for PSS packing over group elements) ---------------
 

@@ -229,10 +229,28 @@ class Field:
         returns (limbs, carry_out)."""
         return self._carry(cols)
 
+    def _pallas_enabled(self) -> bool:
+        if not hasattr(self, "_use_pallas"):
+            import os
+
+            self._use_pallas = (
+                os.environ.get("ZKSAAS_NO_PALLAS", "0") != "1"
+                and jax.default_backend() != "cpu"
+            )
+        return self._use_pallas
+
     @functools.partial(jax.jit, static_argnums=0)
     def mul(self, a, b):
-        """Montgomery product a*b*R^-1 mod p (separated reduction:
-        T = a*b;  m = (T mod R)*N' mod R;  out = (T + m*p)/R)."""
+        """Montgomery product a*b*R^-1 mod p.
+
+        On TPU backends this is one fused Pallas kernel call (see
+        pallas_mul.py); on CPU it is the jnp limb graph below
+        (separated reduction: T = a*b; m = (T mod R)*N' mod R;
+        out = (T + m*p)/R)."""
+        if self._pallas_enabled():
+            from .pallas_mul import montmul_pallas
+
+            return montmul_pallas(self.spec, a, b)
         k = self.k
         shape = jnp.broadcast_shapes(a.shape, b.shape)
         a = jnp.broadcast_to(a, shape)
