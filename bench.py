@@ -52,10 +52,12 @@ def main():
     times = []
     for i in range(iters):
         fresh = F.rand(jax.random.PRNGKey(100 + i), (m,))  # defeat caching
-        jax.block_until_ready(fresh)
+        np.asarray(jax.device_get(fresh))
         t0 = time.time()
         out = msm(P, fresh)
-        jax.block_until_ready(out)
+        # force a real device->host sync (block_until_ready has proven
+        # unreliable on the experimental axon platform)
+        np.asarray(jax.device_get(out[2]))
         times.append(time.time() - t0)
     dt = min(times)
     pts_per_s = m / dt
