@@ -26,7 +26,9 @@ _WINDOW = 4
 
 @functools.cache
 def _table(curve: JCurve):
-    """Device constant: (n_windows, 2^c) affine-encoded points."""
+    """Host-constant table: (n_windows, 2^c) Jacobian-encoded points as
+    NUMPY arrays (so the cached value is trace-safe — it must never be
+    built from inside a jit trace)."""
     ref = curve.ref
     c = _WINDOW
     nbits = curve.fr.spec.bits
@@ -43,7 +45,17 @@ def _table(curve: JCurve):
         for _ in range(c):
             base = ref.add(base, base)
     flat = [p for row in rows for p in row]
-    return curve.encode(flat, shape=(n_windows, 1 << c))
+    R = curve.R
+    is2 = len(R.coord_shape) == 2
+    one = (1, 0) if is2 else 1
+    zero = (0, 0) if is2 else 0
+    X = R.encode([p[0] if p is not None else one for p in flat])
+    Y = R.encode([p[1] if p is not None else one for p in flat])
+    Z = R.encode([zero if p is None else one for p in flat])
+    shape = (n_windows, 1 << c)
+    return tuple(
+        np.asarray(a).reshape(shape + R.coord_shape) for a in (X, Y, Z)
+    )
 
 
 @functools.partial(jax.jit, static_argnums=0)

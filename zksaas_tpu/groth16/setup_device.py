@@ -132,15 +132,20 @@ def vk_from_scalars(ss: SetupScalars) -> Groth16Keys:
 
 
 def _query_shares(pp: PackedSharingParams, curve: JCurve, scalars: list[int]):
-    """scalars -> fixed-base points on device -> det-packed party-major
-    shares (n, nch).  Tail chunks padded with zero scalars (infinity)."""
+    """scalars -> det-packed party-major point shares (n, nch).
+
+    Because the dealer KNOWS the discrete logs here (it generated the
+    CRS), packing commutes with exponentiation: det_pack the *scalars*
+    (cheap field mat-vec) and then one fixed-base mul per share —
+    64 table-adds per point instead of ~500 variable-base double-adds.
+    Tail chunks are padded with zero scalars (infinity points)."""
     l = pp.l
     nch = -(-len(scalars) // l)
     padded = list(scalars) + [0] * (nch * l - len(scalars))
     enc = jnp.asarray(pp.F.encode(padded)).reshape(nch, l, pp.F.k)
-    pts = fixed_base_mul(curve, enc)  # (nch, l) Jacobian
-    shares = pp.det_pack_g(curve, pts)  # (nch, n)
-    return tuple(jnp.swapaxes(c, 0, 1) for c in shares)
+    share_scalars = pp.det_pack(enc)  # (nch, n, K)
+    pts = fixed_base_mul(curve, share_scalars)  # (nch, n) Jacobian
+    return tuple(jnp.swapaxes(c, 0, 1) for c in pts)
 
 
 def pack_proving_key_device(
