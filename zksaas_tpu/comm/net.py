@@ -42,6 +42,7 @@ from typing import Callable, Protocol
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 KingFn = Callable[[object, tuple], object]
 
@@ -63,7 +64,10 @@ class LocalNet:
     def __init__(self, n: int, drop: tuple = ()):
         self.n_parties = n
         self.drop = tuple(drop)
-        self.rounds = 0  # round counter (observability)
+        # observability counters (the reference's print-trace analog:
+        # bytes/rounds were never counted there, SURVEY §5)
+        self.rounds = 0
+        self.gathered_elems = 0
 
     @property
     def parties(self) -> tuple:
@@ -71,11 +75,14 @@ class LocalNet:
 
     def round(self, x, king_fn: KingFn, channel: int = 0):
         self.rounds += 1
+        for leaf in jax.tree.leaves(x):
+            self.gathered_elems += int(np.prod(leaf.shape))
         parties = self.parties
         if self.drop:
             idx = jnp.asarray(parties)
             x = jax.tree.map(lambda a: jnp.take(a, idx, axis=0), x)
-        return king_fn(x, parties)
+        with jax.named_scope(f"king_round_ch{channel}"):
+            return king_fn(x, parties)
 
 
 class SpmdNet:

@@ -1,0 +1,261 @@
+"""Production star transport: king/client TCP (optionally mTLS) with
+timeout + threshold + surviving-parties fault tolerance.
+
+The multi-host/DCN analog of the reference's ProdNet
+(mpc-net/src/prod.rs): a *pure star* — the king binds and accepts n-1
+mutually-authenticated clients; clients hold exactly one connection
+(prod.rs:119-184).  Frames are length-prefixed with a (channel,
+party) header — the channel id is the 3-way stream multiplexing
+(MultiplexedStreamID, lib.rs:43-53) collapsed onto one socket with a
+demux thread.  A Syn/SynAck barrier follows connection setup
+(synchronize, prod.rs:246-296).
+
+Fault-tolerance contract (lib.rs:89-136 + ser_net.rs:16-99):
+gather-to-king waits up to `timeout` per round; missing parties yield a
+Partial result carrying the surviving-party list, and fewer than
+`threshold` responses raises — exactly ReceivedShares{shares, parties}.
+
+This layer moves raw bytes; HostStarNet in host_net.py adapts it to the
+protocol `round` interface with numpy serialization.  mTLS uses
+pinned self-signed certs (gen_cert analog in make_self_signed_cert).
+"""
+
+from __future__ import annotations
+
+import io
+import socket
+import ssl
+import struct
+import threading
+import time
+from dataclasses import dataclass, field as dfield
+from queue import Empty, Queue
+
+_HDR = struct.Struct("<IIQ")  # channel, party, length
+_SYN = b"\x01SYN"
+_SYNACK = b"\x02ACK"
+
+
+@dataclass
+class ReceivedBytes:
+    """ser_net.rs ReceivedShares analog at the byte layer."""
+
+    shares: list  # bytes or None per party index
+    parties: tuple
+
+    @property
+    def is_full(self) -> bool:
+        return all(s is not None for s in self.shares)
+
+
+class _Demux:
+    """Per-connection receiver thread feeding (channel -> queue)."""
+
+    def __init__(self, sock: socket.socket):
+        self.sock = sock
+        self.queues: dict[int, Queue] = {}
+        self.lock = threading.Lock()
+        self.dead = False
+        self.thread = threading.Thread(target=self._run, daemon=True)
+        self.thread.start()
+
+    def _q(self, channel: int) -> Queue:
+        with self.lock:
+            if channel not in self.queues:
+                self.queues[channel] = Queue()
+            return self.queues[channel]
+
+    def _run(self):
+        try:
+            while True:
+                hdr = self._read_exact(_HDR.size)
+                if hdr is None:
+                    break
+                channel, party, length = _HDR.unpack(hdr)
+                body = self._read_exact(length)
+                if body is None:
+                    break
+                self._q(channel).put((party, body))
+        except OSError:
+            pass
+        self.dead = True
+
+    def _read_exact(self, n: int):
+        buf = b""
+        while len(buf) < n:
+            chunk = self.sock.recv(n - len(buf))
+            if not chunk:
+                return None
+            buf += chunk
+        return buf
+
+    def recv(self, channel: int, timeout: float):
+        try:
+            return self._q(channel).get(timeout=timeout)
+        except Empty:
+            return None
+
+    def send(self, channel: int, party: int, payload: bytes):
+        self.sock.sendall(_HDR.pack(channel, party, len(payload)) + payload)
+
+
+def make_self_signed_cert(common_name: str = "zksaas-node"):
+    """Self-signed cert + key PEM bytes (gen_cert.rs analog)."""
+    import datetime
+
+    from cryptography import x509
+    from cryptography.hazmat.primitives import hashes, serialization
+    from cryptography.hazmat.primitives.asymmetric import ec
+    from cryptography.x509.oid import NameOID
+
+    key = ec.generate_private_key(ec.SECP256R1())
+    name = x509.Name([x509.NameAttribute(NameOID.COMMON_NAME, common_name)])
+    now = datetime.datetime.now(datetime.timezone.utc)
+    cert = (
+        x509.CertificateBuilder()
+        .subject_name(name)
+        .issuer_name(name)
+        .public_key(key.public_key())
+        .serial_number(x509.random_serial_number())
+        .not_valid_before(now - datetime.timedelta(minutes=5))
+        .not_valid_after(now + datetime.timedelta(days=30))
+        .add_extension(
+            x509.SubjectAlternativeName([x509.DNSName("localhost")]), critical=False
+        )
+        .sign(key, hashes.SHA256())
+    )
+    cert_pem = cert.public_bytes(serialization.Encoding.PEM)
+    key_pem = key.private_bytes(
+        serialization.Encoding.PEM,
+        serialization.PrivateFormat.PKCS8,
+        serialization.NoEncryption(),
+    )
+    return cert_pem, key_pem
+
+
+def _tls_server_ctx(certfile, keyfile, peer_certs):
+    ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+    ctx.load_cert_chain(certfile, keyfile)
+    ctx.verify_mode = ssl.CERT_REQUIRED  # mutual TLS, pinned roots
+    for c in peer_certs:
+        ctx.load_verify_locations(c)
+    return ctx
+
+
+def _tls_client_ctx(certfile, keyfile, king_cert):
+    ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_CLIENT)
+    ctx.check_hostname = False
+    ctx.load_cert_chain(certfile, keyfile)
+    ctx.verify_mode = ssl.CERT_REQUIRED
+    ctx.load_verify_locations(king_cert)
+    return ctx
+
+
+class StarKing:
+    """Party 0.  Binds, accepts n-1 clients, id-exchanges, barriers
+    (new_king_tls + new_from_pre_existing_connection, prod.rs:135-243)."""
+
+    def __init__(self, n: int, bind=("127.0.0.1", 0), timeout: float = 30.0, tls_ctx=None):
+        self.n = n
+        self.timeout = timeout
+        srv = socket.create_server(bind)
+        self.port = srv.getsockname()[1]
+        self._srv = srv
+        self._tls = tls_ctx
+        self.links: dict[int, _Demux] = {}
+
+    def accept_all(self, accept_timeout: float = 120.0):
+        """Bring-up is bounded separately from the per-round timeout —
+        peers may take long to start (process spawn, TLS handshakes)."""
+        self._srv.settimeout(accept_timeout)
+        for _ in range(self.n - 1):
+            conn, _ = self._srv.accept()
+            if self._tls is not None:
+                conn = self._tls.wrap_socket(conn, server_side=True)
+            # id exchange: client sends its party id first
+            demux = _Demux(conn)
+            got = demux.recv(0, accept_timeout)
+            assert got is not None, "client id exchange timed out"
+            pid, payload = got
+            assert payload == _SYN
+            self.links[pid] = demux
+        # SynAck barrier: release everyone only once all are connected
+        for pid, demux in self.links.items():
+            demux.send(0, 0, _SYNACK)
+
+    def gather(self, own: bytes, channel: int, threshold: int) -> ReceivedBytes:
+        """client_send_or_king_receive (lib.rs:89-136): collect one
+        payload per party with per-round timeout; Partial on dropouts;
+        raise below threshold (ser_net.rs:73-81)."""
+        shares: list = [None] * self.n
+        shares[0] = own
+        deadline = time.time() + self.timeout
+        expected = set(self.links)
+        while expected and time.time() < deadline:
+            for pid in list(expected):
+                got = self.links[pid].recv(channel, timeout=0.01)
+                if got is not None:
+                    sender, payload = got
+                    shares[sender] = payload
+                    expected.discard(pid)
+        parties = tuple(i for i in range(self.n) if shares[i] is not None)
+        if len(parties) < threshold:
+            raise TimeoutError(
+                f"only {len(parties)} of {self.n} shares arrived (threshold {threshold})"
+            )
+        return ReceivedBytes(shares=shares, parties=parties)
+
+    def scatter(self, payloads: list, channel: int):
+        """client_receive_or_king_send (lib.rs:139-176): distinct payload
+        per party."""
+        for pid, demux in self.links.items():
+            if payloads[pid] is not None:
+                demux.send(channel, 0, payloads[pid])
+
+    def close(self):
+        for d in self.links.values():
+            try:
+                d.sock.close()
+            except OSError:
+                pass
+        self._srv.close()
+
+
+class StarClient:
+    """Parties 1..n-1: one connection to the king (new_peer_tls,
+    prod.rs:159-184)."""
+
+    def __init__(self, party_id: int, king_addr, timeout: float = 30.0, tls_ctx=None, retries: int = 50):
+        self.party_id = party_id
+        self.timeout = timeout
+        last = None
+        for _ in range(retries):
+            try:
+                sock = socket.create_connection(king_addr, timeout=timeout)
+                break
+            except OSError as e:  # king not up yet
+                last = e
+                time.sleep(0.1)
+        else:
+            raise last
+        if tls_ctx is not None:
+            sock = tls_ctx.wrap_socket(sock)
+        self.link = _Demux(sock)
+        self.link.send(0, party_id, _SYN)
+        got = self.link.recv(0, timeout)
+        assert got is not None and got[1] == _SYNACK, "SynAck barrier failed"
+
+    def send(self, payload: bytes, channel: int):
+        self.link.send(channel, self.party_id, payload)
+
+    def recv(self, channel: int):
+        got = self.link.recv(channel, self.timeout)
+        if got is None:
+            raise TimeoutError(f"no king payload on channel {channel}")
+        return got[1]
+
+    def close(self):
+        try:
+            self.link.sock.close()
+        except OSError:
+            pass

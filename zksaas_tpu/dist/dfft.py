@@ -168,7 +168,8 @@ def d_fft(pp, pcoeff_share, mask, rearrange, dom: Radix2Domain, net, key, channe
     """Packed shares of (rearranged) coefficients -> packed shares of
     evaluations (d_fft, dfft/mod.rs:99-134)."""
     assert pcoeff_share.shape[-2] * pp.l == dom.n
-    px = fft1_local(pp, pcoeff_share, dom.group_gen)
+    with jax.named_scope("d_fft.fft1"):
+        px = fft1_local(pp, pcoeff_share, dom.group_gen)
     return _fft2_with_rearrange(
         pp, px, mask, rearrange, 1, dom.group_gen, net, key, channel
     )

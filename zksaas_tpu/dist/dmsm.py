@@ -22,8 +22,9 @@ def d_msm(pp: PackedSharingParams, curve: JCurve, bases_share, scalars_share, ma
     """bases_share: points with trailing chunk axis (..., m/l);
     scalars_share: (..., m/l, K).  Returns one point per party (packed
     sharing of the MSM value, repeated l times)."""
-    prods = curve.scalar_mul(bases_share, scalars_share)
-    c_share = curve.sum(prods, axis=-1)  # local Pippenger stand-in
+    with jax.named_scope("d_msm.local"):
+        prods = curve.scalar_mul(bases_share, scalars_share)
+        c_share = curve.sum(prods, axis=-1)  # local windowed MSM stage
     c_share = curve.add(c_share, mask.in_mask)
 
     def king_fn(shares, parties):
