@@ -28,6 +28,8 @@ import numpy as np
 from ..fields.jfield import Field, field
 from ..fields.spec import (
     LIMB_BITS,
+    BLS12_377_FQ,
+    BLS12_377_FR,
     BLS12_381_FQ,
     BLS12_381_FR,
     BN254_FQ,
@@ -429,6 +431,10 @@ def curve_g1(name: str = "bn254") -> JCurve:
     if name == "bls12_381":
         return JCurve(
             "bls12_381_g1", FqRing(field(BLS12_381_FQ)), _ref.BLS12_381_G1, field(BLS12_381_FR)
+        )
+    if name == "bls12_377":
+        return JCurve(
+            "bls12_377_g1", FqRing(field(BLS12_377_FQ)), _ref.BLS12_377_G1, field(BLS12_377_FR)
         )
     raise ValueError(name)
 

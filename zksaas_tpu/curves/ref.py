@@ -12,7 +12,15 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from ..fields.spec import BLS12_381_FQ, BLS12_381_FR, BN254_FQ, BN254_FR, FieldSpec
+from ..fields.spec import (
+    BLS12_377_FQ,
+    BLS12_377_FR,
+    BLS12_381_FQ,
+    BLS12_381_FR,
+    BN254_FQ,
+    BN254_FR,
+    FieldSpec,
+)
 
 # ---------------------------------------------------------------------------
 # generic short-Weierstrass affine arithmetic over Fp or Fp2
@@ -216,7 +224,22 @@ BLS12_381_G1 = CurveRef(
     order=_bls_r,
 )
 
-CURVES = {c.name: c for c in (BN254_G1, BN254_G2, BLS12_381_G1)}
+_b377_p = BLS12_377_FQ.p
+_b377_r = BLS12_377_FR.p
+
+BLS12_377_G1 = CurveRef(
+    name="bls12_377_g1",
+    K=Coord(_b377_p),
+    a=0,
+    b=1,
+    gen=(
+        0x008848DEFE740A67C8FC6225BF87FF5485951E2CAA9D41BB188282C8BD37CB5CD5481512FFCD394EEAB9B16EB21BE9EF,
+        0x01914A69C5102EFF1F674F5D30AFEEC4BD7FB348CA3E52D96D182AD44FB82305C2FE3D3634A9591AFD82DE55559C8EA6,
+    ),
+    order=_b377_r,
+)
+
+CURVES = {c.name: c for c in (BN254_G1, BN254_G2, BLS12_381_G1, BLS12_377_G1)}
 
 
 # ---------------------------------------------------------------------------
