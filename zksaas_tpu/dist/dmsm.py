@@ -23,7 +23,10 @@ def d_msm(pp: PackedSharingParams, curve: JCurve, bases_share, scalars_share, ma
     scalars_share: (..., m/l, K).  Returns one point per party (packed
     sharing of the MSM value, repeated l times)."""
     with jax.named_scope("d_msm.local"):
-        prods = curve.scalar_mul(bases_share, scalars_share)
+        if curve.fr._pallas_enabled():  # windowed on TPU, binary on CPU
+            prods = curve.scalar_mul_w4(bases_share, scalars_share)
+        else:
+            prods = curve.scalar_mul(bases_share, scalars_share)
         c_share = curve.sum(prods, axis=-1)  # local windowed MSM stage
     c_share = curve.add(c_share, mask.in_mask)
 
