@@ -8,7 +8,23 @@ compiled-executable cache."""
 import os
 
 
+def raise_stack_limit(target: int = 512 << 20) -> None:
+    """Raise RLIMIT_STACK: XLA:CPU's LLVM passes recurse deeply on the
+    big limb-arithmetic graphs and segfault at the default 8 MB main
+    stack (observed compiling curve matvec graphs)."""
+    try:
+        import resource
+
+        soft, hard = resource.getrlimit(resource.RLIMIT_STACK)
+        want = target if hard == resource.RLIM_INFINITY else min(hard, target)
+        if soft != resource.RLIM_INFINITY and (want == resource.RLIM_INFINITY or soft < want):
+            resource.setrlimit(resource.RLIMIT_STACK, (want, hard))
+    except Exception:
+        pass
+
+
 def enable_compilation_cache(path: str | None = None) -> None:
+    raise_stack_limit()
     import jax
 
     path = path or os.environ.get("ZKSAAS_JAX_CACHE", "/root/.cache/jax_comp")
