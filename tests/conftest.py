@@ -7,6 +7,34 @@ sharding layout run unmodified in CI.
 """
 
 import os
+import sys
+
+
+def _ensure_stack():
+    """XLA:CPU's LLVM passes overflow the default 8 MB main-thread
+    stack on the deepest limb-arithmetic graphs (segfault inside
+    backend_compile).  Raising RLIMIT_STACK at runtime cannot grow the
+    already-mapped main stack (mmap base was placed for the old
+    limit), so re-exec once with the higher limit installed."""
+    try:
+        import resource
+
+        want = 512 << 20
+        soft, hard = resource.getrlimit(resource.RLIMIT_STACK)
+        if (
+            soft != resource.RLIM_INFINITY
+            and soft < want
+            and os.environ.get("ZKSAAS_REEXEC") != "1"
+        ):
+            new = want if hard == resource.RLIM_INFINITY else min(hard, want)
+            resource.setrlimit(resource.RLIMIT_STACK, (new, hard))
+            os.environ["ZKSAAS_REEXEC"] = "1"
+            os.execv(sys.executable, [sys.executable, "-m", "pytest"] + sys.argv[1:])
+    except Exception:
+        pass
+
+
+_ensure_stack()
 
 # force CPU: the ambient environment pins JAX_PLATFORMS=axon (the real
 # TPU tunnel); tests must run on the 8-device virtual CPU mesh and must

@@ -386,10 +386,16 @@ class JCurve:
     @functools.partial(jax.jit, static_argnums=0)
     def msm(self, P, scalars_mont):
         """sum_i P[i] * s[i] along axis 0 (the d_msm local hot loop,
-        dmsm/mod.rs:73).  Windowed on TPU (bigger graph, compiled via
-        the Pallas mul in seconds); binary on CPU where compile time of
-        the unrolled table would dominate the test suite."""
+        dmsm/mod.rs:73).  On TPU: bucket-Pippenger for large m,
+        windowed double-and-add otherwise; binary double-and-add on CPU
+        where compile time of the bigger graphs would dominate the test
+        suite."""
+        m = self.batch_shape(P)[0]
         if self.fr._pallas_enabled():
+            if m >= 256:
+                from .pippenger import msm_best
+
+                return msm_best(self, P, scalars_mont)
             prods = self.scalar_mul_w4(P, scalars_mont)
         else:
             prods = self.scalar_mul(P, scalars_mont)

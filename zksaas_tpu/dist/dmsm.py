@@ -23,11 +23,18 @@ def d_msm(pp: PackedSharingParams, curve: JCurve, bases_share, scalars_share, ma
     scalars_share: (..., m/l, K).  Returns one point per party (packed
     sharing of the MSM value, repeated l times)."""
     with jax.named_scope("d_msm.local"):
-        if curve.fr._pallas_enabled():  # windowed on TPU, binary on CPU
-            prods = curve.scalar_mul_w4(bases_share, scalars_share)
+        nchunks = scalars_share.shape[-2]
+        if curve.fr._pallas_enabled() and nchunks >= 256:
+            # bucket-Pippenger local MSM on TPU (see curves/pippenger.py)
+            from ..curves.pippenger import msm_best
+
+            c_share = msm_best(curve, bases_share, scalars_share)
         else:
-            prods = curve.scalar_mul(bases_share, scalars_share)
-        c_share = curve.sum(prods, axis=-1)  # local windowed MSM stage
+            if curve.fr._pallas_enabled():
+                prods = curve.scalar_mul_w4(bases_share, scalars_share)
+            else:
+                prods = curve.scalar_mul(bases_share, scalars_share)
+            c_share = curve.sum(prods, axis=-1)
     c_share = curve.add(c_share, mask.in_mask)
 
     def king_fn(shares, parties):
