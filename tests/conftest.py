@@ -10,31 +10,14 @@ import os
 import sys
 
 
-def _ensure_stack():
-    """XLA:CPU's LLVM passes overflow the default 8 MB main-thread
-    stack on the deepest limb-arithmetic graphs (segfault inside
-    backend_compile).  Raising RLIMIT_STACK at runtime cannot grow the
-    already-mapped main stack (mmap base was placed for the old
-    limit), so re-exec once with the higher limit installed."""
-    try:
-        import resource
+# XLA:CPU's LLVM passes overflow the default 8 MB stack on the deepest
+# limb-arithmetic graphs (segfault inside backend_compile).  The main
+# thread's stack cannot grow past its exec-time limit, so every test
+# runs on a worker thread created with a 512 MB stack (see
+# pytest_runtest_call below).
+import threading
 
-        want = 512 << 20
-        soft, hard = resource.getrlimit(resource.RLIMIT_STACK)
-        if (
-            soft != resource.RLIM_INFINITY
-            and soft < want
-            and os.environ.get("ZKSAAS_REEXEC") != "1"
-        ):
-            new = want if hard == resource.RLIM_INFINITY else min(hard, want)
-            resource.setrlimit(resource.RLIMIT_STACK, (new, hard))
-            os.environ["ZKSAAS_REEXEC"] = "1"
-            os.execv(sys.executable, [sys.executable, "-m", "pytest"] + sys.argv[1:])
-    except Exception:
-        pass
-
-
-_ensure_stack()
+_BIG_STACK = 512 << 20
 
 # force CPU: the ambient environment pins JAX_PLATFORMS=axon (the real
 # TPU tunnel); tests must run on the 8-device virtual CPU mesh and must
@@ -56,3 +39,34 @@ jax.config.update("jax_platforms", "cpu")
 from zksaas_tpu.utils.cache import enable_compilation_cache
 
 enable_compilation_cache()
+
+
+import pytest
+
+
+@pytest.hookimpl(wrapper=True)
+def pytest_runtest_call(item):
+    orig = item.runtest
+
+    def threaded():
+        exc = []
+
+        def runner():
+            try:
+                orig()
+            except BaseException as e:  # re-raised on the main thread
+                exc.append(e)
+
+        threading.stack_size(_BIG_STACK)
+        t = threading.Thread(target=runner, name=f"bigstack-{item.name}")
+        t.start()
+        t.join()
+        threading.stack_size(0)
+        if exc:
+            raise exc[0]
+
+    item.runtest = threaded
+    try:
+        return (yield)
+    finally:
+        item.runtest = orig
