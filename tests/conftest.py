@@ -44,6 +44,33 @@ enable_compilation_cache()
 import pytest
 
 
+def pytest_configure(config):
+    """XLA's internal compile-pool threads take glibc's default stack
+    size, captured from RLIMIT_STACK at process start — runtime
+    setrlimit cannot reach them.  Re-exec pytest once with the larger
+    limit installed, first releasing pytest's fd capture so the child's
+    stdout is the real one."""
+    try:
+        import resource
+
+        soft, hard = resource.getrlimit(resource.RLIMIT_STACK)
+        if (
+            soft == resource.RLIM_INFINITY
+            or soft >= _BIG_STACK
+            or os.environ.get("ZKSAAS_REEXEC") == "1"
+        ):
+            return
+        new = _BIG_STACK if hard == resource.RLIM_INFINITY else min(hard, _BIG_STACK)
+        resource.setrlimit(resource.RLIMIT_STACK, (new, hard))
+        capman = config.pluginmanager.getplugin("capturemanager")
+        if capman is not None:
+            capman.stop_global_capturing()
+        os.environ["ZKSAAS_REEXEC"] = "1"
+        os.execv(sys.executable, [sys.executable, "-m", "pytest"] + sys.argv[1:])
+    except Exception:
+        pass
+
+
 @pytest.hookimpl(wrapper=True)
 def pytest_runtest_call(item):
     orig = item.runtest
