@@ -53,15 +53,17 @@ def pytest_configure(config):
     try:
         import resource
 
-        soft, hard = resource.getrlimit(resource.RLIMIT_STACK)
-        if (
-            soft == resource.RLIM_INFINITY
-            or soft >= _BIG_STACK
-            or os.environ.get("ZKSAAS_REEXEC") == "1"
-        ):
+        if os.environ.get("ZKSAAS_REEXEC") == "1":
             return
+        # NB: cannot trust the current soft limit here — modules above
+        # already raised it in-process, which does nothing for glibc's
+        # default thread stack size (read at process start).  The env
+        # marker is the only reliable "already re-exec'd" signal.
+        soft, hard = resource.getrlimit(resource.RLIMIT_STACK)
         new = _BIG_STACK if hard == resource.RLIM_INFINITY else min(hard, _BIG_STACK)
-        resource.setrlimit(resource.RLIMIT_STACK, (new, hard))
+        if soft == resource.RLIM_INFINITY:
+            return
+        resource.setrlimit(resource.RLIMIT_STACK, (max(soft, new), hard))
         capman = config.pluginmanager.getplugin("capturemanager")
         if capman is not None:
             capman.stop_global_capturing()
