@@ -68,7 +68,10 @@ def pytest_configure(config):
         if capman is not None:
             capman.stop_global_capturing()
         os.environ["ZKSAAS_REEXEC"] = "1"
-        os.execv(sys.executable, [sys.executable, "-m", "pytest"] + sys.argv[1:])
+        # use pytest's own record of its args (sys.argv lies when pytest
+        # is invoked programmatically)
+        args = list(getattr(config, "invocation_params").args)
+        os.execv(sys.executable, [sys.executable, "-m", "pytest"] + args)
     except Exception:
         pass
 
