@@ -76,6 +76,25 @@ def pytest_configure(config):
         pass
 
 
+def pytest_sessionstart(session):
+    """Warm the pathological XLA:CPU compiles in a clean subprocess
+    (see tests/warm_cache.py); the suite then loads them from the
+    compilation cache instead of compiling in-process."""
+    if os.environ.get("ZKSAAS_NO_WARM") == "1":
+        return
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        subprocess.run(
+            [sys.executable, os.path.join(here, "warm_cache.py")],
+            timeout=3600,
+            check=False,
+        )
+    except Exception:
+        pass
+
+
 @pytest.hookimpl(wrapper=True)
 def pytest_runtest_call(item):
     orig = item.runtest
