@@ -53,7 +53,10 @@ def pytest_configure(config):
     try:
         import resource
 
-        if os.environ.get("ZKSAAS_REEXEC") == "1":
+        if (
+            os.environ.get("ZKSAAS_REEXEC") == "1"
+            or os.environ.get("PYTEST_XDIST_WORKER")
+        ):
             return
         # NB: cannot trust the current soft limit here — modules above
         # already raised it in-process, which does nothing for glibc's
@@ -80,7 +83,10 @@ def pytest_sessionstart(session):
     """Warm the pathological XLA:CPU compiles in a clean subprocess
     (see tests/warm_cache.py); the suite then loads them from the
     compilation cache instead of compiling in-process."""
-    if os.environ.get("ZKSAAS_NO_WARM") == "1":
+    if (
+        os.environ.get("ZKSAAS_NO_WARM") == "1"
+        or os.environ.get("PYTEST_XDIST_WORKER")
+    ):
         return
     import subprocess
 
