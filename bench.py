@@ -40,7 +40,7 @@ def main():
     # the kernel cost is data-independent)
     rng = random.Random(5)
     base_pts = [C.ref.rand(rng) for _ in range(8)]
-    P = C.encode(base_pts * (m // 8))
+    P = C.encode((base_pts * (-(-m // 8)))[:m])
     scalars = F.rand(jax.random.PRNGKey(0), (m,))
 
     msm = jax.jit(C.msm)
