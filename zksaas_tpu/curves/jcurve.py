@@ -215,7 +215,22 @@ class JCurve:
 
     # -- group law (a = 0) ----------------------------------------------
 
+    def _use_fused(self) -> bool:
+        """Fused whole-point Pallas kernels (curves/fused.py): on by
+        default on TPU backends; ZKSAAS_FUSED=1/0 overrides (tests run
+        the same kernels under the Pallas CPU interpreter)."""
+        import os
+
+        v = os.environ.get("ZKSAAS_FUSED")
+        if v is not None:
+            return v == "1"
+        return self.R.F._pallas_enabled()
+
     def double(self, P):
+        if self._use_fused():
+            from .fused import fused_double
+
+            return fused_double(self.R.F.spec, self._ncoord, P)
         R = self.R
         X, Y, Z = P
         A = R.square(X)
@@ -230,6 +245,10 @@ class JCurve:
         return (X3, Y3, Z3)
 
     def add(self, P, Q):
+        if self._use_fused():
+            from .fused import fused_add
+
+            return fused_add(self.R.F.spec, self._ncoord, P, Q)
         R = self.R
         X1, Y1, Z1 = P
         X2, Y2, Z2 = Q
@@ -263,6 +282,15 @@ class JCurve:
         out = self.select(p_inf, Q, out)
         out = self.select(q_inf, P, out)
         return out
+
+    def add_if(self, cond, P, Q):
+        """cond ? P + Q : P — the accumulate step of scalar_mul /
+        Pippenger, with the predicate fused into the add kernel."""
+        if self._use_fused():
+            from .fused import fused_add_select
+
+            return fused_add_select(self.R.F.spec, self._ncoord, P, Q, cond)
+        return self.select(cond, self.add(P, Q), P)
 
     def neg(self, P):
         return (P[0], self.R.neg(P[1]), P[2])
@@ -305,7 +333,7 @@ class JCurve:
             jj = nbits - 1 - j
             limb = jnp.take(raw, jj // LIMB_BITS, axis=-1)
             bit = (limb >> (jj % np.uint32(LIMB_BITS))) & 1
-            return self.select(bit > 0, self.add(acc, P), acc)
+            return self.add_if(bit > 0, acc, P)
 
         acc0 = self.infinity(self.batch_shape(P))
         return jax.lax.fori_loop(0, nbits, body, acc0)

@@ -81,7 +81,7 @@ def msm_pippenger(curve: JCurve, P, scalars_mont):
             cur_l = bs + (r & ((1 << l) - 1))
             idx = jnp.clip(cur_l >> l, 0, (m >> l) - 1)
             node = tuple(jnp.take(co, idx, axis=0) for co in levels[l])
-            acc = curve.select(has, curve.add(acc, node), acc)
+            acc = curve.add_if(has, acc, node)
 
         return curve.sum(acc, axis=0)  # S_j
 
