@@ -94,6 +94,19 @@ def main():
     assert geteq(C2, ref2, got2), "FUSED G2 ADD MISMATCH"
     print("ALL FUSED KERNELS MATCH", flush=True)
 
+    # MSM correctness: planes-Pippenger vs host big-int oracle (m=256)
+    from zksaas_tpu.curves.pippenger import msm_pippenger
+
+    ms = 256
+    Ps = C.encode([pts[i % 6] for i in range(ms)])
+    ss = F.rand(jax.random.PRNGKey(7), (ms,))
+    t0 = time.time()
+    got = C.decode(tuple(c[None] for c in msm_pippenger(C, Ps, ss)))[0]
+    s_ints = [int(v) for v in F.decode(ss)]
+    want = C.ref.msm([pts[i % 6] for i in range(ms)], s_ints)
+    assert got == want, f"PIPPENGER MSM MISMATCH: {got} != {want}"
+    print(f"pippenger msm == host oracle at m={ms} ({time.time()-t0:.1f}s)", flush=True)
+
     # MSM bench
     m = int(os.environ.get("BENCH_MSM_SIZE", 1 << 14))
     Pm = C.encode((pts * (-(-m // 6)))[:m])

@@ -1,8 +1,15 @@
-"""Fused Pallas point-kernel tests (curves/fused.py, fields/kernel_lib.py).
+"""Fused point-kernel core tests (curves/fused.py, fields/kernel_lib.py).
 
-Runs the exact TPU kernels under the Pallas CPU interpreter and asserts
-them bit-identical to the composite jnp path (which is itself asserted
-against host big-int oracles in test_curve.py / test_field.py).
+The kernel bodies are pure straight-line array code; here they are
+evaluated on plain NUMPY arrays (via the fields/_xp dispatch shim) and
+asserted bit-identical to the composite jnp path — which is itself
+asserted against host big-int oracles in test_curve.py / test_field.py.
+This runs the ~100k-op unrolled kernel math in milliseconds; JAX eager
+dispatch or the Pallas CPU interpreter take minutes for the same code,
+and XLA:CPU cannot compile it as one graph.  The Pallas plumbing
+(BlockSpecs, grid, Mosaic lowering) is exercised on the real chip by
+scripts/tpu_fused_check.py.
+
 Covers the complete-add special cases: P == Q, P == -Q, either side at
 infinity.  Reference semantics: arkworks sw projective arithmetic
 (/root/reference/dist-primitives/src/dmsm/mod.rs:73 hot loop).
@@ -13,10 +20,9 @@ import random
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
-from zksaas_tpu.curves import curve_g1
-from zksaas_tpu.curves.fused import g1_add, g1_add_select, g1_double
+from zksaas_tpu.curves import curve_g1, curve_g2
+from zksaas_tpu.curves.fused import _add_core, _double_core, _kring
 from zksaas_tpu.fields import BN254_FQ, field
 from zksaas_tpu.fields.kernel_lib import from_planes, kernel_field, to_planes
 
@@ -27,109 +33,135 @@ def _pts(C, n, seed=0):
     return C.encode([pts[i % 6] for i in range(n)])
 
 
-def _assert_group_eq(C, P, Q):
-    """Equality as group elements (Jacobian reps may differ)."""
-    Pa, Qa = C.to_affine(P), C.to_affine(Q)
-    for a, b in zip(Pa, Qa):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+def _np_elem(ncoord, coord):
+    """(n, K) / (n, 2, K) coord array -> numpy limb list(s)."""
+    a = np.asarray(coord)
+    if ncoord == 1:
+        return [a[:, k] for k in range(a.shape[-1])]
+    return (
+        [a[:, 0, k] for k in range(a.shape[-1])],
+        [a[:, 1, k] for k in range(a.shape[-1])],
+    )
 
 
-def test_fused_add_matches_jnp_path():
-    C = curve_g1()
-    n = 8
-    P = _pts(C, n, seed=1)
-    Q = _pts(C, n, seed=2)
-    # interleave special cases: Q[0] = P[0] (double), Q[1] = -P[1]
-    # (infinity result), P[2] = inf, Q[3] = inf
-    Q = tuple(co.at[0].set(po[0]) for co, po in zip(Q, P))
+def _np_point(ncoord, P):
+    return [_np_elem(ncoord, c) for c in P]
+
+
+def _back(ncoord, elem):
+    if ncoord == 1:
+        return np.stack(elem, axis=-1)
+    return np.stack([np.stack(c, axis=-1) for c in elem], axis=-2)
+
+
+def _check_point_eq(ncoord, ref, got_elems):
+    for r, g in zip(ref, got_elems):
+        np.testing.assert_array_equal(np.asarray(r), _back(ncoord, g))
+
+
+def _specials(C, P, Q):
+    """Inject the complete-add special cases into a batch."""
+    Q = tuple(co.at[0].set(po[0]) for co, po in zip(Q, P))  # P == Q
     negP = C.neg(P)
-    Q = tuple(co.at[1].set(po[1]) for co, po in zip(Q, negP))
+    Q = tuple(co.at[1].set(po[1]) for co, po in zip(Q, negP))  # P == -Q
     inf = C.infinity((1,))
-    P = tuple(co.at[2].set(io[0]) for co, io in zip(P, inf))
-    Q = tuple(co.at[3].set(io[0]) for co, io in zip(Q, inf))
-
-    ref = C.add(P, Q)  # jnp path (fused off on CPU by default)
-    got = g1_add(C.R.F.spec, P, Q)  # interpreter-mode kernel
-    for a, b in zip(ref, got):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    P = tuple(co.at[2].set(io[0]) for co, io in zip(P, inf))  # P = inf
+    Q = tuple(co.at[3].set(io[0]) for co, io in zip(Q, inf))  # Q = inf
+    return P, Q
 
 
-def test_fused_double_matches_jnp_path():
+def test_core_add_g1():
+    C = curve_g1()
+    P, Q = _specials(C, _pts(C, 8, seed=1), _pts(C, 8, seed=2))
+    ref = C.add(P, Q)  # composite jnp path (fused off on CPU)
+    R = _kring(C.R.F.spec, 1)
+    got = _add_core(R, *_np_point(1, P), *_np_point(1, Q))
+    _check_point_eq(1, ref, got)
+
+
+def test_core_double_g1():
     C = curve_g1()
     P = _pts(C, 5, seed=3)
     inf = C.infinity((1,))
     P = tuple(co.at[4].set(io[0]) for co, io in zip(P, inf))
     ref = C.double(P)
-    got = g1_double(C.R.F.spec, P)
-    for a, b in zip(ref, got):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    R = _kring(C.R.F.spec, 1)
+    got = _double_core(R, *_np_point(1, P))
+    _check_point_eq(1, ref, got)
 
 
-def test_fused_add_select():
-    C = curve_g1()
-    P = _pts(C, 6, seed=4)
-    Q = _pts(C, 6, seed=5)
-    cond = jnp.asarray([1, 0, 1, 0, 1, 1], dtype=jnp.uint32) > 0
-    ref = C.select(cond, C.add(P, Q), P)
-    got = g1_add_select(C.R.F.spec, P, Q, cond)
-    for a, b in zip(ref, got):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
-
-
-def test_fused_add_g2():
-    """Fq2 (G2) variant: 2K-plane coordinates, Karatsuba in-kernel."""
-    from zksaas_tpu.curves import curve_g2
-    from zksaas_tpu.curves.fused import fused_add, fused_double
-
+def test_core_add_double_g2():
     C = curve_g2()
-    n = 4
-    P = _pts(C, n, seed=8)
-    Q = _pts(C, n, seed=9)
-    Q = tuple(co.at[0].set(po[0]) for co, po in zip(Q, P))  # double case
-    inf = C.infinity((1,))
-    Q = tuple(co.at[1].set(io[0]) for co, io in zip(Q, inf))
-
+    P, Q = _specials(C, _pts(C, 6, seed=8), _pts(C, 6, seed=9))
+    R = _kring(C.R.F.spec, 2)
     ref = C.add(P, Q)
-    got = fused_add(C.R.F.spec, 2, P, Q)
-    for a, b in zip(ref, got):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
-
+    got = _add_core(R, *_np_point(2, P), *_np_point(2, Q))
+    _check_point_eq(2, ref, got)
     refd = C.double(P)
-    gotd = fused_double(C.R.F.spec, 2, P)
-    for a, b in zip(refd, gotd):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    gotd = _double_core(R, *_np_point(2, P))
+    _check_point_eq(2, refd, gotd)
 
 
-def test_fused_dispatch_env(monkeypatch):
-    """ZKSAAS_FUSED=1 routes JCurve.add through the kernels and the
-    result still matches the composite path as group elements."""
-    C = curve_g1()
-    P = _pts(C, 4, seed=6)
-    Q = _pts(C, 4, seed=7)
-    ref = C.add(P, Q)
-    monkeypatch.setenv("ZKSAAS_FUSED", "1")
-    got = C.add(P, Q)
-    monkeypatch.delenv("ZKSAAS_FUSED")
-    for a, b in zip(ref, got):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
-
-
-def test_kernel_field_muli_and_planes_roundtrip():
+def test_core_mm_matches_field_mul():
+    """KernelField CIOS Montgomery product == Field.mul, numpy eval."""
     F = field(BN254_FQ)
     kf = kernel_field(BN254_FQ)
-    key = jax.random.PRNGKey(0)
+    n = 257
+    a = F.rand(jax.random.PRNGKey(0), (n,))
+    b = F.rand(jax.random.PRNGKey(1), (n,))
+    ref = np.asarray(F.mul(a, b))
+    got = kf.mm(_np_elem(1, a), _np_elem(1, b))
+    np.testing.assert_array_equal(ref, np.stack(got, axis=-1))
+    # squares and the add/sub/neg ring ops
+    np.testing.assert_array_equal(
+        np.asarray(F.square(a)), np.stack(kf.sqr(_np_elem(1, a)), axis=-1)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(F.add(a, b)), np.stack(kf.add(_np_elem(1, a), _np_elem(1, b)), axis=-1)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(F.sub(a, b)), np.stack(kf.sub(_np_elem(1, a), _np_elem(1, b)), axis=-1)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(F.neg(a)), np.stack(kf.neg(_np_elem(1, a)), axis=-1)
+    )
+
+
+def test_core_muli():
+    F = field(BN254_FQ)
+    kf = kernel_field(BN254_FQ)
+    a = F.rand(jax.random.PRNGKey(2), (64,))
+    for c in (1, 2, 3, 8, 24):
+        ref = np.asarray(F.muli(a, c))
+        got = kf.muli(_np_elem(1, a), c)
+        np.testing.assert_array_equal(ref, np.stack(got, axis=-1))
+
+
+def test_planes_layout_roundtrip():
+    F = field(BN254_FQ)
     n = 1500  # exercises the pad-to-1024 path
-    a = F.rand(key, (n,))
+    a = F.rand(jax.random.PRNGKey(0), (n,))
     ap, B = to_planes(a, F.k)
     assert B == n and ap.shape == (F.k, 2, 8, 128)
     back = from_planes(ap, B, (n, F.k))
     np.testing.assert_array_equal(np.asarray(back), np.asarray(a))
 
-    limbs = [ap[k, 0] for k in range(F.k)]
-    for c in (2, 3, 8, 24):
-        got_limbs = kf.muli(limbs, c)
-        got = from_planes(
-            jnp.stack(got_limbs)[:, None], 1024, (1024, F.k)
-        )
-        ref = F.muli(a[:1024], c)
-        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+def test_planes_point_layout():
+    from zksaas_tpu.curves.fused import (
+        pinfinity,
+        points_from_planes,
+        points_to_planes,
+    )
+
+    C = curve_g1()
+    K = C.R.F.spec.nlimbs
+    P = _pts(C, 5, seed=11)
+    Pp, bshape = points_to_planes(1, P)
+    back = points_from_planes(1, Pp, bshape, K)
+    for a, b in zip(P, back):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    infp = pinfinity(C.R.F.spec, 1, 3)
+    infref, _ = points_to_planes(1, C.infinity((3,)))
+    for a, b in zip(infref, infp):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -64,7 +64,10 @@ def _run_star(n, tls=False, drop_party=None, timeout=5.0):
     ]
     for t in threads:
         t.start()
-    king.accept_all(accept_timeout=20.0)
+    # generous bring-up bound: under xdist the suite saturates every
+    # core with XLA compiles and TLS handshakes can take minutes of
+    # wall clock (observed flake at 20 s)
+    king.accept_all(accept_timeout=300.0)
     rb = king.gather(b"id=0", channel=3, threshold=2)
     total = sum(
         int(s.decode().split("=")[1]) for s in rb.shares if s is not None

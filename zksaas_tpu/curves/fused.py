@@ -15,8 +15,12 @@ Layout: a coordinate crosses the kernel boundary as uint32 planes
 (..., K) / (..., 2, K) layouts and convert with one XLA transpose per
 coordinate (bandwidth-trivial next to the ~20 field muls inside).
 
-On CPU backends the same kernels run under the Pallas interpreter so
-the suite exercises the identical code path bit-for-bit.
+On CPU backends the kernels run (eagerly) under the Pallas
+interpreter; the CPU test suite instead evaluates the kernel *cores*
+on plain numpy arrays via the fields/_xp dispatch shim
+(tests/test_fused.py) — same code, milliseconds instead of minutes —
+and the Pallas plumbing is verified on the real chip by
+scripts/tpu_fused_check.py.
 """
 
 from __future__ import annotations
@@ -25,9 +29,11 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..fields import _xp as xp
 from ..fields.kernel_lib import KernelField, from_planes, kernel_field, to_planes
 from ..fields.spec import FieldSpec
 
@@ -82,7 +88,7 @@ class KRingFq:
         return self.f.const(self.f.one_mont, like[0])
 
     def zero(self, like):
-        return [jnp.zeros_like(like[0])] * self.f.K
+        return [xp.zeros_like(like[0])] * self.f.K
 
 
 class KRingFq2:
@@ -129,7 +135,7 @@ class KRingFq2:
         return self.mm(a, a)
 
     def is_zero(self, a):
-        return jnp.logical_and(self.f.is_zero(a[0]), self.f.is_zero(a[1]))
+        return xp.logical_and(self.f.is_zero(a[0]), self.f.is_zero(a[1]))
 
     def select(self, cond, a, b):
         return (self.f.select(cond, a[0], b[0]), self.f.select(cond, a[1], b[1]))
@@ -138,7 +144,7 @@ class KRingFq2:
         return (self.f.const(self.f.one_mont, like[0][0]), self.zero(like)[1])
 
     def zero(self, like):
-        z = [jnp.zeros_like(like[0][0])] * self.f.K
+        z = [xp.zeros_like(like[0][0])] * self.f.K
         return (z, z)
 
 
@@ -193,8 +199,8 @@ def _add_core(R, X1, Y1, Z1, X2, Y2, Z2):
     one = R.one(X1)
     zero = R.zero(X1)
 
-    is_dbl = jnp.logical_and(h0, r0)
-    is_inf_res = jnp.logical_and(h0, jnp.logical_not(r0))
+    is_dbl = xp.logical_and(h0, r0)
+    is_inf_res = xp.logical_and(h0, xp.logical_not(r0))
 
     out = [X3, Y3, Z3]
     out = [R.select(is_dbl, d, o) for d, o in zip((dX, dY, dZ), out)]
@@ -215,7 +221,6 @@ def _make_call(kernel, nplanes: int, n_in: int, n_out: int, n_cond: int = 0):
     )
     cond_spec = pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
 
-    @jax.jit
     def call(*arrays):
         nb = arrays[0].shape[1]
         return pl.pallas_call(
@@ -227,6 +232,12 @@ def _make_call(kernel, nplanes: int, n_in: int, n_out: int, n_cond: int = 0):
             interpret=_interpret(),
         )(*arrays)
 
+    # On TPU the call is jitted (one Mosaic kernel).  Under the CPU
+    # interpreter it must stay eager: the unrolled kernel body is a
+    # ~100k-op graph that XLA:CPU cannot compile in reasonable time,
+    # while eager interpretation is seconds.
+    if not _interpret():
+        call = jax.jit(call)
     return call
 
 
@@ -262,15 +273,18 @@ def _add_select_call(spec: FieldSpec, ncoord: int):
 
 
 @functools.cache
-def _double_call(spec: FieldSpec, ncoord: int):
+def _double_call(spec: FieldSpec, ncoord: int, k: int = 1):
+    """k-fold doubling fused into one kernel (Horner's c doublings per
+    window become a single launch)."""
     R = _kring(spec, ncoord)
 
     def kernel(x, y, z, ox, oy, oz):
         X, Y, Z = (R.load(r) for r in (x, y, z))
-        X3, Y3, Z3 = _double_core(R, X, Y, Z)
-        R.store(ox, X3)
-        R.store(oy, Y3)
-        R.store(oz, Z3)
+        for _ in range(k):
+            X, Y, Z = _double_core(R, X, Y, Z)
+        R.store(ox, X)
+        R.store(oy, Y)
+        R.store(oz, Z)
 
     return _make_call(kernel, R.nplanes, n_in=3, n_out=3)
 
@@ -333,3 +347,71 @@ def g1_add_select(spec, P, Q, cond):
 
 def g1_double(spec, P):
     return fused_double(spec, 1, P)
+
+
+# ---------------------------------------------------------------------------
+# planes-level API: coordinates stay (nplanes, B) limb-major throughout
+# (used by the MSM hot path, curves/pippenger.py, to avoid the
+# (..., K) <-> planes transpose around every kernel call)
+# ---------------------------------------------------------------------------
+
+
+def _wrap_planes(call, npl: int, coords, conds=()):
+    """coords: (npl, B) uint32 arrays; pads B to a 1024 multiple."""
+    B = coords[0].shape[1]
+    Bp = -(-B // 1024) * 1024
+    shaped = []
+    for c in coords:
+        if Bp != B:
+            c = jnp.pad(c, ((0, 0), (0, Bp - B)))
+        shaped.append(c.reshape(npl, Bp // 1024, 8, 128))
+    cargs = []
+    for cd in conds:
+        cd = cd.astype(jnp.uint32)
+        if Bp != B:
+            cd = jnp.pad(cd, (0, Bp - B))
+        cargs.append(cd.reshape(Bp // 1024, 8, 128))
+    outs = call(*shaped, *cargs)
+    return tuple(o.reshape(npl, Bp)[:, :B] for o in outs)
+
+
+def padd(spec: FieldSpec, ncoord: int, P, Q):
+    npl = _nplanes(spec, ncoord)
+    return _wrap_planes(_add_call(spec, ncoord), npl, (*P, *Q))
+
+
+def padd_if(spec: FieldSpec, ncoord: int, cond, P, Q):
+    """cond ? P + Q : P on planes points; cond: (B,) bool/uint32."""
+    npl = _nplanes(spec, ncoord)
+    return _wrap_planes(_add_select_call(spec, ncoord), npl, (*P, *Q), (cond,))
+
+
+def pdouble(spec: FieldSpec, ncoord: int, P, k: int = 1):
+    npl = _nplanes(spec, ncoord)
+    return _wrap_planes(_double_call(spec, ncoord, k), npl, P)
+
+
+def pinfinity(spec: FieldSpec, ncoord: int, B: int):
+    """Planes-layout (1, 1, 0) infinity points, shape (npl, B)."""
+    K = spec.nlimbs
+    one_limbs = np.zeros(K * ncoord, dtype=np.uint32)
+    for i in range(K):
+        one_limbs[i] = (spec.r_mod_p >> (16 * i)) & 0xFFFF
+    one = jnp.broadcast_to(jnp.asarray(one_limbs)[:, None], (K * ncoord, B))
+    zero = jnp.zeros((K * ncoord, B), jnp.uint32)
+    return (one, one, zero)
+
+
+def points_to_planes(ncoord: int, P):
+    """(..., K)/(..., 2, K) coord tuple -> ((npl, B) tuple, batch shape)."""
+    c0 = P[0]
+    bshape = c0.shape[: c0.ndim - ncoord]
+    npl = int(np.prod(c0.shape[c0.ndim - ncoord :]))
+    out = tuple(c.reshape(-1, npl).T for c in P)
+    return out, bshape
+
+
+def points_from_planes(ncoord: int, Pp, bshape, K: int):
+    """Inverse of points_to_planes."""
+    tail = (K,) if ncoord == 1 else (2, K)
+    return tuple(c.T.reshape(bshape + tail) for c in Pp)

@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from . import _xp as xp
 from .spec import LIMB_BITS, LIMB_MASK, FieldSpec
 
 BLOCK = 1024  # batch elements per kernel block
@@ -84,12 +85,12 @@ class KernelField:
             ref[k, blk] = val[k]
 
     def zeros_like(self, x):
-        z = jnp.zeros_like(x)
+        z = xp.zeros_like(x)
         return [z] * self.K
 
     def const(self, limbs, like):
         """Broadcast a python-int limb list to the batch shape."""
-        return [jnp.full_like(like, np.uint32(l)) for l in limbs]
+        return [xp.full_like(like, np.uint32(l)) for l in limbs]
 
     # -- carries ----------------------------------------------------------
 
@@ -97,7 +98,7 @@ class KernelField:
         """Ripple-normalize len(cols) redundant columns (< 2^32 each)
         into exact 16-bit limbs; returns (limbs, carry_out)."""
         out = []
-        c = jnp.zeros_like(cols[0])
+        c = xp.zeros_like(cols[0])
         for v in cols:
             t = v + c
             out.append(t & self.mask)
@@ -107,7 +108,7 @@ class KernelField:
     def _sub_p(self, r):
         """r - p with borrow ripple; returns (diff_limbs, borrow_out)."""
         out = []
-        brw = jnp.zeros_like(r[0])
+        brw = xp.zeros_like(r[0])
         for j in range(self.K):
             need = self.N[j] + brw  # <= 2^16, fits
             v = (r[j] - need) & self.mask
@@ -118,8 +119,8 @@ class KernelField:
     def _cond_sub_p(self, r, top):
         """Reduce a normalized value known < 2p (carry bit `top`)."""
         sub, brw = self._sub_p(r)
-        ge = jnp.logical_or(top > 0, brw == 0)
-        return [jnp.where(ge, s, v) for s, v in zip(sub, r)]
+        ge = xp.logical_or(top > 0, brw == 0)
+        return [xp.where(ge, s, v) for s, v in zip(sub, r)]
 
     # -- ring ops ----------------------------------------------------------
 
@@ -130,7 +131,7 @@ class KernelField:
 
     def sub(self, a, b):
         out = []
-        brw = jnp.zeros_like(a[0])
+        brw = xp.zeros_like(a[0])
         for j in range(self.K):
             need = b[j] + brw
             v = (a[j] - need) & self.mask
@@ -138,16 +139,16 @@ class KernelField:
             out.append(v)
         # if borrowed, add p back (the ripple cannot re-borrow)
         addp = []
-        c = jnp.zeros_like(a[0])
+        c = xp.zeros_like(a[0])
         for j in range(self.K):
             t = out[j] + self.N[j] + c
             addp.append(t & self.mask)
             c = t >> LIMB_BITS
         neg = brw > 0
-        return [jnp.where(neg, x, y) for x, y in zip(addp, out)]
+        return [xp.where(neg, x, y) for x, y in zip(addp, out)]
 
     def neg(self, a):
-        return self.sub([jnp.zeros_like(x) for x in a], a)
+        return self.sub([xp.zeros_like(x) for x in a], a)
 
     def dbl(self, a):
         return self.add(a, a)
@@ -155,7 +156,7 @@ class KernelField:
     def mm(self, a, b):
         """CIOS Montgomery product a*b*R^-1 mod p (exact-limb in/out)."""
         K, mask = self.K, self.mask
-        zero = jnp.zeros_like(a[0])
+        zero = xp.zeros_like(a[0])
         t = [zero] * (K + 1)
         for i in range(K):
             ai = a[i]
@@ -199,7 +200,7 @@ class KernelField:
 
     def select(self, cond, a, b):
         """cond ? a : b (cond is a bool vreg)."""
-        return [jnp.where(cond, x, y) for x, y in zip(a, b)]
+        return [xp.where(cond, x, y) for x, y in zip(a, b)]
 
 
 @functools.cache

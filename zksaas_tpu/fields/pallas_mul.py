@@ -34,7 +34,8 @@ def _mul_call(spec: FieldSpec):
     def kernel(a_ref, b_ref, o_ref):
         kf.store(o_ref, kf.mm(kf.load(a_ref), kf.load(b_ref)))
 
-    @jax.jit
+    interp = jax.default_backend() == "cpu"
+
     def call(a, b):
         nb = a.shape[1]
         return pl.pallas_call(
@@ -43,10 +44,12 @@ def _mul_call(spec: FieldSpec):
             in_specs=[coord, coord],
             out_specs=coord,
             out_shape=jax.ShapeDtypeStruct(a.shape, jnp.uint32),
-            interpret=jax.default_backend() == "cpu",
+            interpret=interp,
         )(a, b)
 
-    return call
+    # eager under the CPU interpreter (the unrolled body would be a
+    # huge XLA:CPU graph); one jitted Mosaic kernel on TPU
+    return call if interp else jax.jit(call)
 
 
 def montmul_pallas(spec: FieldSpec, a, b):
