@@ -92,12 +92,15 @@ class KRingFq:
 
 
 class KRingFq2:
-    """Fq2 = Fq[u]/(u^2+1) inside a kernel: elements are (c0, c1) pairs
-    of limb lists; mirrors Fq2Ring (jcurve.py) with Karatsuba mul."""
+    """Fq2 = Fq[u]/(u^2 - nr) inside a kernel: elements are (c0, c1)
+    pairs of limb lists; mirrors Fq2Ring (jcurve.py), Karatsuba mul."""
 
     def __init__(self, f: KernelField):
+        from ..fields.spec import fq2_nonresidue
+
         self.f = f
         self.nplanes = 2 * f.K
+        self.nr = fq2_nonresidue(f.spec)
 
     def load(self, ref, blk=0):
         K = self.f.K
@@ -129,7 +132,8 @@ class KRingFq2:
         t0 = f.mm(a[0], b[0])
         t1 = f.mm(a[1], b[1])
         t2 = f.mm(f.add(a[0], a[1]), f.add(b[0], b[1]))
-        return (f.sub(t0, t1), f.sub(f.sub(t2, t0), t1))
+        nr_t1 = t1 if self.nr == -1 else f.muli(t1, -self.nr)
+        return (f.sub(t0, nr_t1), f.sub(f.sub(t2, t0), t1))
 
     def sqr(self, a):
         return self.mm(a, a)

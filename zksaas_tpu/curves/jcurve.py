@@ -86,17 +86,27 @@ class FqRing:
 
 
 class Fq2Ring:
-    """Coordinate ring Fq2 = Fq[u]/(u^2+1): elements are (..., 2, K)."""
+    """Coordinate ring Fq2 = Fq[u]/(u^2 - nr): elements are (..., 2, K).
+
+    nr = -1 for BN254/BLS12-381; -5 for BLS12-377 (fields/spec.py)."""
 
     def __init__(self, F: Field):
         self.F = F
         self.coord_shape = (2, F.k)
+        from ..fields.spec import fq2_nonresidue
+
+        self.nr = fq2_nonresidue(F.spec)
+        assert self.nr < 0
 
     def add(self, a, b):
         return self.F.add(a, b)
 
     def sub(self, a, b):
         return self.F.sub(a, b)
+
+    def _nr_t1(self, t1):
+        """(-nr) * t1 (nr is a small negative int)."""
+        return t1 if self.nr == -1 else self.F.muli(t1, -self.nr)
 
     def mul(self, a, b):
         F = self.F
@@ -105,7 +115,9 @@ class Fq2Ring:
         t0 = F.mul(a0, b0)
         t1 = F.mul(a1, b1)
         t2 = F.mul(F.add(a0, a1), F.add(b0, b1))
-        return jnp.stack([F.sub(t0, t1), F.sub(F.sub(t2, t0), t1)], axis=-2)
+        return jnp.stack(
+            [F.sub(t0, self._nr_t1(t1)), F.sub(F.sub(t2, t0), t1)], axis=-2
+        )
 
     def square(self, a):
         return self.mul(a, a)
@@ -132,7 +144,7 @@ class Fq2Ring:
     def batch_inv(self, a, axis=0):
         F = self.F
         a0, a1 = a[..., 0, :], a[..., 1, :]
-        norm = F.add(F.square(a0), F.square(a1))
+        norm = F.add(F.square(a0), self._nr_t1(F.square(a1)))
         ninv = F.batch_inv(norm, axis=axis)
         return jnp.stack([F.mul(a0, ninv), F.neg(F.mul(a1, ninv))], axis=-2)
 
@@ -477,4 +489,12 @@ def curve_g1(name: str = "bn254") -> JCurve:
 def curve_g2(name: str = "bn254") -> JCurve:
     if name == "bn254":
         return JCurve("bn254_g2", Fq2Ring(field(BN254_FQ)), _ref.BN254_G2, field(BN254_FR))
+    if name == "bls12_381":
+        return JCurve(
+            "bls12_381_g2", Fq2Ring(field(BLS12_381_FQ)), _ref.BLS12_381_G2, field(BLS12_381_FR)
+        )
+    if name == "bls12_377":
+        return JCurve(
+            "bls12_377_g2", Fq2Ring(field(BLS12_377_FQ)), _ref.BLS12_377_G2, field(BLS12_377_FR)
+        )
     raise ValueError(name)

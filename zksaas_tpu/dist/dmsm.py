@@ -62,18 +62,18 @@ class MsmMask:
 
     @staticmethod
     def sample(pp: PackedSharingParams, curve: JCurve, key):
+        from ..curves.fixed_base import fixed_base_mul
+
         F = pp.F
         k_s, k_in, k_out = jax.random.split(key, 3)
-        # l random group elements (gen * random scalar)
+        # l random group elements (gen * random scalar) — fixed-base
+        # windowed tables (64 adds) instead of 254 double-and-adds
         scal = F.rand(k_s, (pp.l,))
-        gen = curve.encode([curve.ref.gen] * pp.l)
-        vals = curve.scalar_mul(gen, scal)  # (l,) points
+        vals = fixed_base_mul(curve, scal)  # (l,) points
         out_val = curve.neg(curve.sum(vals, axis=0))
         # pack the l values -> n shares (random pads = random points)
         def rand_pts(k, cnt):
-            s = F.rand(k, (cnt,))
-            g = curve.encode([curve.ref.gen] * cnt)
-            return curve.scalar_mul(g, s)
+            return fixed_base_mul(curve, F.rand(k, (cnt,)))
 
         in_shares = pp.pack_g(curve, vals, rand_pts(k_in, pp.t))
         rep = tuple(jnp.broadcast_to(c[None], (pp.l,) + c.shape) for c in out_val)

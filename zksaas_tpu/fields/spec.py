@@ -126,3 +126,11 @@ FIELDS = {
     f.name: f
     for f in (BN254_FR, BLS12_381_FR, BLS12_377_FR, BN254_FQ, BLS12_381_FQ, BLS12_377_FQ)
 }
+
+# Fq2 = Fq[u]/(u^2 - nr) quadratic nonresidue per base field (arkworks
+# Fp2Config::NONRESIDUE): -1 everywhere except BLS12-377's -5.
+_FQ2_NONRESIDUE = {"bls12_377_fq": -5}
+
+
+def fq2_nonresidue(spec: FieldSpec) -> int:
+    return _FQ2_NONRESIDUE.get(spec.name, -1)

@@ -31,6 +31,24 @@ def _domain_size(n: int) -> int:
     return s
 
 
+# curve family from the scalar field of the constraint system
+_FAMILY_BY_FR = {
+    "bn254_fr": "bn254",
+    "bls12_381_fr": "bls12_381",
+    "bls12_377_fr": "bls12_377",
+}
+
+
+def curve_family(spec: FieldSpec) -> str:
+    return _FAMILY_BY_FR[spec.name]
+
+
+def curve_refs(spec: FieldSpec):
+    """(G1, G2, family) host oracles for a scalar-field spec."""
+    fam = curve_family(spec)
+    return cref.CURVES[f"{fam}_g1"], cref.CURVES[f"{fam}_g2"], fam
+
+
 def qap_evals(r1cs: R1CS, z: list[int]) -> tuple[list[int], list[int], list[int], int]:
     """Evaluate per-constraint <A_i,z>, <B_i,z>, and c = a*b over the
     constraint domain, circom-reduction style: instance variables are
@@ -103,7 +121,7 @@ def setup(r1cs: R1CS, rng: random.Random, reduction: str = "circom") -> Groth16K
     """Circuit-specific setup (ark-groth16 generator.rs semantics)."""
     spec = r1cs.spec
     p = spec.p
-    G1, G2 = cref.BN254_G1, cref.BN254_G2
+    G1, G2, _ = curve_refs(spec)
     m = _domain_size(r1cs.num_constraints + r1cs.num_instance)
 
     alpha = rng.randrange(1, p)
@@ -223,7 +241,7 @@ def local_prove(keys: Groth16Keys, r1cs: R1CS, z: list[int], r: int, s: int) -> 
     distributed prover must match bit-for-bit
     (create_proof_with_reduction_and_matrices, sha256.rs:191-199)."""
     p = keys.spec.p
-    G1, G2 = cref.BN254_G1, cref.BN254_G2
+    G1, G2, _ = curve_refs(keys.spec)
     h = witness_map(r1cs, z, keys.reduction)
 
     ni = r1cs.num_instance
@@ -250,16 +268,17 @@ def local_prove(keys: Groth16Keys, r1cs: R1CS, z: list[int], r: int, s: int) -> 
 
 def verify(keys: Groth16Keys, public_inputs: list[int], proof: Proof) -> bool:
     """e(A,B) == e(alpha,beta) e(acc_gamma, gamma) e(C, delta)."""
-    G1 = cref.BN254_G1
+    G1, _, family = curve_refs(keys.spec)
     acc = keys.gamma_abc_g1[0]
     for x, pt in zip(public_inputs, keys.gamma_abc_g1[1:]):
         acc = G1.add(acc, G1.mul(pt, x))
-    lhs = cref.pairing(proof.a, proof.b)
+    lhs = cref.pairing(proof.a, proof.b, family)
     rhs = cref.multi_pairing(
         [
             (keys.alpha_g1, keys.beta_g2),
             (acc, keys.gamma_g2),
             (proof.c, keys.delta_g2),
-        ]
+        ],
+        family,
     )
     return lhs == rhs

@@ -110,7 +110,9 @@ def vk_from_scalars(ss: SetupScalars) -> Groth16Keys:
     """Host materialization of the (small) verifying key plus the clear
     pk elements; the big queries stay device-side (see
     pack_proving_key_device) and are left empty here."""
-    G1, G2 = cref.BN254_G1, cref.BN254_G2
+    from .local import curve_refs
+
+    G1, G2, _ = curve_refs(ss.spec)
     g1 = lambda x: G1.mul(G1.gen, x)
     g2 = lambda x: G2.mul(G2.gen, x)
     return Groth16Keys(
