@@ -41,7 +41,7 @@ def main():
     from zksaas_tpu.circom import ConstraintBuilder
     from zksaas_tpu.comm import LocalNet
     from zksaas_tpu.curves import curve_g1, curve_g2
-    from zksaas_tpu.fields import BN254_FR
+    from zksaas_tpu.fields import FIELDS
     from zksaas_tpu.groth16 import (
         Proof,
         ProveMasks,
@@ -56,7 +56,11 @@ def main():
     )
     from zksaas_tpu.pss import pss
 
-    cb = ConstraintBuilder()
+    # curve family knob: bn254 (default) / bls12_381 / bls12_377
+    family = os.environ.get("ZKSAAS_E2E_CURVE", "bn254")
+    fr_spec = FIELDS[f"{family}_fr"]
+
+    cb = ConstraintBuilder(fr_spec)
     x = cb.witness(3)
     val = 3
     for _ in range(10):
@@ -73,8 +77,8 @@ def main():
     expected = local_prove(keys, r1cs, z, r, s)
     assert verify(keys, z[1 : r1cs.num_instance], expected), "local verify failed"
 
-    pp = pss(BN254_FR, 2)
-    g1, g2 = curve_g1(), curve_g2()
+    pp = pss(fr_spec, 2)
+    g1, g2 = curve_g1(family), curve_g2(family)
     key = jax.random.PRNGKey(777)
     ks = jax.random.split(key, 7)
 
@@ -100,7 +104,10 @@ def main():
     assert b == expected.b, "pi_b mismatch"
     assert c == expected.c, "pi_c mismatch"
     assert verify(keys, z[1 : r1cs.num_instance], Proof(a=a, b=b, c=c))
-    print("e2e_small: distributed proof == local proof, verified", flush=True)
+    print(
+        f"e2e_small[{family}]: distributed proof == local proof, verified",
+        flush=True,
+    )
 
 
 if __name__ == "__main__":

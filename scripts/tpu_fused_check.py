@@ -107,6 +107,24 @@ def main():
     assert got == want, f"PIPPENGER MSM MISMATCH: {got} != {want}"
     print(f"pippenger msm == host oracle at m={ms} ({time.time()-t0:.1f}s)", flush=True)
 
+    # general-Z (Jacobian) and infinity inputs through the batch-affine
+    # normalization (d_msm feeds packed shares, which have Z != 1)
+    Pd = C.double(Ps)
+    infs = C.infinity((ms,))
+    sel = jnp.arange(ms) % 7 == 0
+    Pz = tuple(jnp.where(sel[:, None], i, d) for d, i in zip(Pd, infs))
+    t0 = time.time()
+    got = C.decode(tuple(c[None] for c in msm_pippenger(C, Pz, ss)))[0]
+    want = C.ref.msm(
+        [
+            C.ref.infinity if i % 7 == 0 else C.ref.mul(pts[i % 6], 2)
+            for i in range(ms)
+        ],
+        s_ints,
+    )
+    assert got == want, f"PIPPENGER Z/INF MSM MISMATCH: {got} != {want}"
+    print(f"pippenger msm (general-Z + inf) == oracle ({time.time()-t0:.1f}s)", flush=True)
+
     # MSM bench
     m = int(os.environ.get("BENCH_MSM_SIZE", 1 << 14))
     Pm = C.encode((pts * (-(-m // 6)))[:m])

@@ -16,15 +16,27 @@ import sys
 import pytest
 
 
-@pytest.mark.slow
-def test_distributed_prove_matches_local():
+def _run(family: str):
     here = os.path.dirname(os.path.abspath(__file__))
     script = os.path.join(here, "..", "examples", "e2e_small.py")
+    env = dict(os.environ, ZKSAAS_E2E_CURVE=family)
     r = subprocess.run(
         [sys.executable, script],
         capture_output=True,
         text=True,
         timeout=3600,
+        env=env,
     )
     assert r.returncode == 0, f"e2e_small failed:\n{r.stdout[-2000:]}\n{r.stderr[-2000:]}"
     assert "distributed proof == local proof" in r.stdout
+
+
+@pytest.mark.slow
+def test_distributed_prove_matches_local():
+    _run("bn254")
+
+
+@pytest.mark.slow
+def test_distributed_prove_matches_local_bls12_381():
+    """Full three-curve support: same protocol stack on BLS12-381."""
+    _run("bls12_381")

@@ -22,7 +22,14 @@ import jax.numpy as jnp
 import numpy as np
 
 from zksaas_tpu.curves import curve_g1, curve_g2
-from zksaas_tpu.curves.fused import _add_core, _double_core, _kring
+from zksaas_tpu.curves.fused import (
+    _add_core,
+    _aff_apply_core,
+    _aff_denom_core,
+    _double_core,
+    _kring,
+    _madd_core,
+)
 from zksaas_tpu.fields import BN254_FQ, field
 from zksaas_tpu.fields.kernel_lib import from_planes, kernel_field, to_planes
 
@@ -100,6 +107,99 @@ def test_core_add_double_g2():
     refd = C.double(P)
     gotd = _double_core(R, *_np_point(2, P))
     _check_point_eq(2, refd, gotd)
+
+
+def _affine_case_batch(C, seed):
+    """Affine (Z=1) point batch with every special case: doubling
+    (P == Q), inverses (P == -Q), one/both sides at infinity."""
+    P = _pts(C, 8, seed=seed)
+    Q = _pts(C, 8, seed=seed + 100)
+    Q = tuple(co.at[0].set(po[0]) for co, po in zip(Q, P))  # double
+    negP = C.neg(P)
+    Q = tuple(co.at[1].set(po[1]) for co, po in zip(Q, negP))  # P + (-P)
+    infP = np.zeros(8, dtype=np.uint32)
+    infQ = np.zeros(8, dtype=np.uint32)
+    infP[2] = 1  # P = inf
+    infQ[3] = 1  # Q = inf
+    infP[4] = infQ[4] = 1  # both inf
+    return P, Q, infP, infQ
+
+
+def _batch_affine_add(C, ncoord, P, Q, infP, infQ):
+    """Run the denom -> host inversion -> apply pipeline on numpy."""
+    R = _kring(C.R.F.spec, ncoord)
+    F = C.R.F
+    nP, nQ = _np_point(ncoord, P), _np_point(ncoord, Q)
+    X1, Y1 = nP[0], nP[1]
+    X2, Y2 = nQ[0], nQ[1]
+    d, inf3 = _aff_denom_core(R, X1, Y1, X2, Y2, infP > 0, infQ > 0)
+    # invert d on the host (the device path uses _pbatch_inv/pfinv)
+    d_arr = jnp.asarray(_back(ncoord, d))
+    ivd = C.R.batch_inv(d_arr, axis=0)
+    ivd_np = _np_elem(ncoord, ivd)
+    X3, Y3 = _aff_apply_core(R, X1, Y1, X2, Y2, ivd_np, infP > 0, infQ > 0)
+    return X3, Y3, np.asarray(inf3)
+
+
+def _assert_matches_ref_add(C, ncoord, P, Q, infP, infQ, X3, Y3, inf3):
+    ref_pts = C.decode(P)
+    ref_qts = C.decode(Q)
+    x3 = jnp.asarray(_back(ncoord, X3))
+    y3 = jnp.asarray(_back(ncoord, Y3))
+    ones = C.R.ones((len(infP),))
+    z3 = C.R.select(jnp.asarray(inf3 == 0), ones, C.R.zeros((len(infP),)))
+    got = C.decode((x3, y3, z3))
+    for i in range(len(infP)):
+        p = None if infP[i] else ref_pts[i]  # CurveRef infinity is None
+        q = None if infQ[i] else ref_qts[i]
+        want = C.ref.add(p, q)
+        if want is None:
+            assert inf3[i] == 1, f"i={i}: expected infinity flag"
+        else:
+            assert inf3[i] == 0 and got[i] == want, f"i={i}: affine add mismatch"
+
+
+def test_core_batch_affine_add_g1():
+    C = curve_g1()
+    P, Q, infP, infQ = _affine_case_batch(C, seed=21)
+    X3, Y3, inf3 = _batch_affine_add(C, 1, P, Q, infP, infQ)
+    _assert_matches_ref_add(C, 1, P, Q, infP, infQ, X3, Y3, inf3)
+
+
+def test_core_batch_affine_add_g2():
+    C = curve_g2()
+    P, Q, infP, infQ = _affine_case_batch(C, seed=31)
+    X3, Y3, inf3 = _batch_affine_add(C, 2, P, Q, infP, infQ)
+    _assert_matches_ref_add(C, 2, P, Q, infP, infQ, X3, Y3, inf3)
+
+
+def test_core_mixed_add():
+    """_madd_core (Jacobian + affine) == composite complete add, incl.
+    acc == node (double), acc == -node (infinity), acc at infinity."""
+    C = curve_g1()
+    P = _pts(C, 8, seed=41)
+    # make accumulators with general Z by doubling (Z = 2y != 1)
+    A = C.double(P)
+    refA = C.decode(A)
+    N = _pts(C, 8, seed=42)
+    # specials: node == acc (as points), node == -acc, acc = infinity
+    two_p0 = refA[0]
+    N = tuple(co.at[0].set(e[0]) for co, e in zip(N, C.encode([two_p0])))
+    neg_a1 = C.ref.neg(refA[1])
+    N = tuple(co.at[1].set(e[0]) for co, e in zip(N, C.encode([neg_a1])))
+    inf = C.infinity((1,))
+    A = tuple(co.at[2].set(io[0]) for co, io in zip(A, inf))
+    ref = C.add(A, N)
+    R = _kring(C.R.F.spec, 1)
+    nA = _np_point(1, A)
+    nN = _np_point(1, N)
+    got = _madd_core(R, nA[0], nA[1], nA[2], nN[0], nN[1])
+    want = C.decode(ref)
+    z3 = jnp.asarray(_back(1, got[2]))
+    x3 = jnp.asarray(_back(1, got[0]))
+    y3 = jnp.asarray(_back(1, got[1]))
+    got_pts = C.decode((x3, y3, z3))
+    assert got_pts == want
 
 
 def test_core_mm_matches_field_mul():

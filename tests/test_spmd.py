@@ -14,9 +14,11 @@ import pytest
 from jax.sharding import PartitionSpec as P
 
 from zksaas_tpu.comm import SpmdNet
-from zksaas_tpu.dist import d_ifft, deg_red
+from zksaas_tpu.curves import curve_g1
+from zksaas_tpu.dist import d_ifft, d_msm, deg_red
 from zksaas_tpu.dist.deg_red import DegRedMask
 from zksaas_tpu.dist.dfft import FftMask
+from zksaas_tpu.dist.dmsm import MsmMask
 from zksaas_tpu.fields import BN254_FR
 from zksaas_tpu.ntt import domain, ifft_ref
 from zksaas_tpu.pss import pss
@@ -70,6 +72,58 @@ def test_spmd_d_ifft_matches_oracle(mesh):
     secrets = pp.unpack(jnp.swapaxes(out, 0, 1))
     got = list(F.decode(secrets.reshape(-1, F.k)))
     assert got == expect
+
+
+def test_spmd_d_msm_matches_oracle(mesh):
+    """d_msm as a real multi-device program (party-per-device shard_map,
+    one all_gather round) == host big-int MSM oracle."""
+    pp = pss(SPEC, L)
+    F = pp.F
+    C = curve_g1()
+    rng = random.Random(63)
+    m = 8
+    pts = [C.ref.rand(rng) for _ in range(m)]
+    scalars = [rng.randrange(SPEC.p) for _ in range(m)]
+    expected = C.ref.msm(pts, scalars)
+    key = jax.random.PRNGKey(73)
+    k1, k2 = jax.random.split(key)
+
+    Pg = C.encode(pts, shape=(m // L, L))
+    gshares = pp.det_pack_g(C, Pg)  # (m/L, n) points
+    gp = tuple(jnp.swapaxes(c, 0, 1) for c in gshares)  # (n, m/L)
+    f = F.encode(np.asarray(scalars, dtype=object).reshape(m // L, L))
+    fp = jnp.swapaxes(pp.pack(f, pp.rand_pads(k1, (m // L,))), 0, 1)
+    mask = MsmMask.sample(pp, C, k2)
+
+    net = SpmdNet(N, "parties")
+    shard = P("parties")
+    ncoord = len(gp)
+
+    @jax.jit
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(
+            (shard,) * ncoord,
+            shard,
+            ((shard,) * ncoord, (shard,) * ncoord),
+        ),
+        out_specs=(shard,) * ncoord,
+    )
+    def step(bases, scal, mask_arrays):
+        mk = MsmMask(
+            in_mask=tuple(c[0] for c in mask_arrays[0]),
+            out_mask=tuple(c[0] for c in mask_arrays[1]),
+        )
+        bases = tuple(c[0] for c in bases)
+        out = d_msm(pp, C, bases, scal[0], mk, net)
+        return tuple(c[None] for c in out)
+
+    out = step(gp, fp, (mask.in_mask, mask.out_mask))
+    out = tuple(jnp.asarray(np.asarray(jax.device_get(c))) for c in out)
+    secrets = pp.unpack2_g(C, out)
+    got = C.decode(tuple(c[:1] for c in secrets))[0]
+    assert got == expected
 
 
 def test_spmd_deg_red_matches_local(mesh):

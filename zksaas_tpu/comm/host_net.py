@@ -48,7 +48,18 @@ class HostStarNet:
         self.threshold = threshold
         self.role = role
         self.my_id = my_id
+        # observability counters (bytes on the wire + protocol rounds —
+        # the reference's print-trace has no such counters, SURVEY §5)
         self.rounds = 0
+        self.bytes_out = 0
+        self.bytes_in = 0
+
+    def stats(self) -> dict:
+        return {
+            "rounds": self.rounds,
+            "bytes_out": self.bytes_out,
+            "bytes_in": self.bytes_in,
+        }
 
     @classmethod
     def make_king(cls, n: int, threshold: int, bind=("127.0.0.1", 0), timeout=30.0, tls_ctx=None):
@@ -75,16 +86,21 @@ class HostStarNet:
             shares = [
                 _deser_like(s, x) for s in rb.shares if s is not None
             ]
+            self.bytes_in += sum(len(s) for s in rb.shares if s is not None)
             stacked = jax.tree.map(lambda *a: jnp.stack(a, axis=0), *shares)
             out = king_fn(stacked, rb.parties)  # leading axis n
             payloads = [None] * self.n_parties
             for pid in range(1, self.n_parties):
                 payloads[pid] = _ser(jax.tree.map(lambda a: a[pid], out))
+            self.bytes_out += sum(len(p) for p in payloads if p is not None)
             self.role.scatter(payloads, channel)
             return jax.tree.map(lambda a: a[0], out)
         else:
-            self.role.send(_ser(x), channel)
+            blob = _ser(x)
+            self.bytes_out += len(blob)
+            self.role.send(blob, channel)
             data = self.role.recv(channel)
+            self.bytes_in += len(data)
             return _deser_like(data, x)
 
     def close(self):

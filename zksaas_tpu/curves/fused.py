@@ -219,7 +219,9 @@ def _add_core(R, X1, Y1, Z1, X2, Y2, Z2):
 # ---------------------------------------------------------------------------
 
 
-def _make_call(kernel, nplanes: int, n_in: int, n_out: int, n_cond: int = 0):
+def _make_call(
+    kernel, nplanes: int, n_in: int, n_out: int, n_cond: int = 0, n_cond_out: int = 0
+):
     coord_spec = pl.BlockSpec(
         (nplanes, 1, 8, 128), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
     )
@@ -231,8 +233,9 @@ def _make_call(kernel, nplanes: int, n_in: int, n_out: int, n_cond: int = 0):
             kernel,
             grid=(nb,),
             in_specs=[coord_spec] * n_in + [cond_spec] * n_cond,
-            out_specs=[coord_spec] * n_out,
-            out_shape=[jax.ShapeDtypeStruct(arrays[0].shape, jnp.uint32)] * n_out,
+            out_specs=[coord_spec] * n_out + [cond_spec] * n_cond_out,
+            out_shape=[jax.ShapeDtypeStruct(arrays[0].shape, jnp.uint32)] * n_out
+            + [jax.ShapeDtypeStruct((nb, 8, 128), jnp.uint32)] * n_cond_out,
             interpret=_interpret(),
         )(*arrays)
 
@@ -291,6 +294,218 @@ def _double_call(spec: FieldSpec, ncoord: int, k: int = 1):
         R.store(oz, Z)
 
     return _make_call(kernel, R.nplanes, n_in=3, n_out=3)
+
+
+@functools.cache
+def _fmul_call(spec: FieldSpec, ncoord: int):
+    """Plain coordinate-ring Montgomery multiply (for the simultaneous-
+    inversion product tree of the batch-affine MSM)."""
+    R = _kring(spec, ncoord)
+
+    def kernel(a, b, o):
+        R.store(o, R.mm(R.load(a), R.load(b)))
+
+    return _make_call(kernel, R.nplanes, n_in=2, n_out=1)
+
+
+def _aff_cases(R, X1, Y1, X2, Y2, inf1, inf2):
+    """Shared special-case predicates of the affine add P1 + P2."""
+    dx = R.sub(X2, X1)
+    dy = R.sub(Y2, Y1)
+    h0 = R.is_zero(dx)
+    sy = R.is_zero(dy)
+    some_inf = xp.logical_or(inf1, inf2)
+    is_dbl = xp.logical_and(xp.logical_and(h0, sy), xp.logical_not(some_inf))
+    is_opp = xp.logical_and(h0, xp.logical_not(sy))  # x1 == x2, y2 == -y1
+    return dx, dy, some_inf, is_dbl, is_opp
+
+
+def _aff_denom_core(R, X1, Y1, X2, Y2, inf1, inf2):
+    """Slope denominator + result-infinity flag of the affine add."""
+    dx, _dy, some_inf, is_dbl, is_opp = _aff_cases(R, X1, Y1, X2, Y2, inf1, inf2)
+    degenerate = xp.logical_or(some_inf, is_opp)
+    d = R.select(is_dbl, R.dbl(Y1), dx)
+    d = R.select(degenerate, R.one(X1), d)
+    inf3 = xp.logical_or(
+        xp.logical_and(inf1, inf2),
+        xp.logical_and(xp.logical_not(some_inf), is_opp),
+    )
+    return d, inf3
+
+
+def _aff_apply_core(R, X1, Y1, X2, Y2, IVD, inf1, inf2):
+    """Affine add given the inverted slope denominator (a = 0 curves)."""
+    _dx, dy, _some_inf, is_dbl, _is_opp = _aff_cases(R, X1, Y1, X2, Y2, inf1, inf2)
+    n = R.select(is_dbl, R.muli(R.sqr(X1), 3), dy)
+    lam = R.mm(n, IVD)
+    X3 = R.sub(R.sub(R.sqr(lam), X1), X2)
+    Y3 = R.sub(R.mm(lam, R.sub(X1, X3)), Y1)
+    X3 = R.select(inf1, X2, X3)
+    Y3 = R.select(inf1, Y2, Y3)
+    X3 = R.select(inf2, X1, X3)
+    Y3 = R.select(inf2, Y1, Y3)
+    return X3, Y3
+
+
+def _madd_core(R, X1, Y1, Z1, x2, y2):
+    """Complete mixed add: Jacobian (X1,Y1,Z1) + affine (x2,y2) with
+    x2,y2 never infinity (callers mask that case out)."""
+    Z1Z1 = R.sqr(Z1)
+    U2 = R.mm(x2, Z1Z1)
+    S2 = R.mm(R.mm(y2, Z1), Z1Z1)
+    H = R.sub(U2, X1)
+    rr = R.dbl(R.sub(S2, Y1))
+    I = R.sqr(R.dbl(H))
+    J = R.mm(H, I)
+    V = R.mm(X1, I)
+    X3 = R.sub(R.sub(R.sqr(rr), J), R.dbl(V))
+    Y3 = R.sub(R.mm(rr, R.sub(V, X3)), R.dbl(R.mm(Y1, J)))
+    Z3 = R.mm(R.dbl(Z1), H)
+
+    h0 = R.is_zero(H)
+    r0 = R.is_zero(rr)
+    p_inf = R.is_zero(Z1)
+    one = R.one(X1)
+    zero = R.zero(X1)
+    is_dbl = xp.logical_and(h0, r0)
+    is_inf_res = xp.logical_and(h0, xp.logical_not(r0))
+    dX, dY, dZ = _double_core(R, x2, y2, one)
+
+    out = [X3, Y3, Z3]
+    out = [R.select(is_dbl, d, o) for d, o in zip((dX, dY, dZ), out)]
+    out = [R.select(is_inf_res, i, o) for i, o in zip((one, one, zero), out)]
+    out = [R.select(p_inf, q, o) for q, o in zip((x2, y2, one), out)]
+    return out
+
+
+@functools.cache
+def _aff_denom_call(spec: FieldSpec, ncoord: int):
+    """Denominator of the affine-add slope: x2 - x1 (general), 2*y1
+    (doubling), or 1 (any degenerate case — masked by the caller).
+    Also emits the result-infinity flag.  Subgroup points have y != 0
+    (no 2-torsion in prime-order groups), so d is always invertible."""
+    R = _kring(spec, ncoord)
+
+    def kernel(x1, y1, x2, y2, i1, i2, od, oinf):
+        X1, Y1 = R.load(x1), R.load(y1)
+        X2, Y2 = R.load(x2), R.load(y2)
+        inf1 = i1[0] > 0
+        inf2 = i2[0] > 0
+        d, inf3 = _aff_denom_core(R, X1, Y1, X2, Y2, inf1, inf2)
+        R.store(od, d)
+        oinf[0] = inf3.astype(jnp.uint32)
+
+    return _make_call(kernel, R.nplanes, n_in=4, n_out=1, n_cond=2, n_cond_out=1)
+
+
+@functools.cache
+def _aff_apply_call(spec: FieldSpec, ncoord: int):
+    """Affine add given the precomputed slope-denominator inverse:
+    lambda = n * d^-1, x3 = lambda^2 - x1 - x2, y3 = lambda(x1-x3) - y1
+    (2M + 2S per point vs ~14M + 9S for the complete Jacobian add)."""
+    R = _kring(spec, ncoord)
+
+    def kernel(x1, y1, x2, y2, vd, i1, i2, ox, oy):
+        X1, Y1 = R.load(x1), R.load(y1)
+        X2, Y2 = R.load(x2), R.load(y2)
+        IVD = R.load(vd)
+        inf1 = i1[0] > 0
+        inf2 = i2[0] > 0
+        X3, Y3 = _aff_apply_core(R, X1, Y1, X2, Y2, IVD, inf1, inf2)
+        R.store(ox, X3)
+        R.store(oy, Y3)
+
+    return _make_call(kernel, R.nplanes, n_in=5, n_out=2, n_cond=2)
+
+
+@functools.cache
+def _finv_call(spec: FieldSpec, ncoord: int):
+    """Batched Fermat inversion in ONE kernel: a^(p-2) via a fori_loop
+    over the fixed exponent bits (held in SMEM), ~2 muls per bit, all
+    in VMEM.  Replaces a 255-step XLA limb-graph chain whose serial
+    dispatch latency dominated per-level batch inversion.  Fq2 inverts
+    through the norm: (c0 + c1 u)^-1 = (c0 - c1 u)/(c0^2 - nr*c1^2)."""
+    f = kernel_field(spec)
+    ebits = np.asarray([int(b) for b in bin(spec.p - 2)[2:]], dtype=np.int32)
+    nbits = int(ebits.shape[0])
+
+    def fermat(bits_ref, x):
+        def body(i, acc):
+            acc = f.sqr(list(acc))
+            mul = f.mm(acc, x)
+            b = bits_ref[i]
+            return tuple(xp.where(b > 0, u, v) for u, v in zip(mul, acc))
+
+        return list(jax.lax.fori_loop(1, nbits, body, tuple(x)))
+
+    if ncoord == 1:
+
+        def kernel(bits_ref, a, o):
+            x = f.load(a)
+            f.store(o, fermat(bits_ref, x))
+
+    else:
+        from ..fields.spec import fq2_nonresidue
+
+        nr = fq2_nonresidue(spec)
+        K = f.K
+
+        def kernel(bits_ref, a, o):
+            c0 = [a[k, 0] for k in range(K)]
+            c1 = [a[K + k, 0] for k in range(K)]
+            n1 = f.sqr(c1)
+            norm = f.add(f.sqr(c0), n1 if nr == -1 else f.muli(n1, -nr))
+            ninv = fermat(bits_ref, norm)
+            r0 = f.mm(c0, ninv)
+            r1 = f.neg(f.mm(c1, ninv))
+            for k in range(K):
+                o[k, 0] = r0[k]
+                o[K + k, 0] = r1[k]
+
+    nplanes = f.K * ncoord
+    coord_spec = pl.BlockSpec(
+        (nplanes, 1, 8, 128), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
+    )
+    bits_spec = pl.BlockSpec((nbits,), lambda i: (0,), memory_space=pltpu.SMEM)
+
+    def call(a):
+        nb = a.shape[1]
+        return pl.pallas_call(
+            kernel,
+            grid=(nb,),
+            in_specs=[bits_spec, coord_spec],
+            out_specs=[coord_spec],
+            out_shape=[jax.ShapeDtypeStruct(a.shape, jnp.uint32)],
+            interpret=_interpret(),
+        )(jnp.asarray(ebits), a)
+
+    if not _interpret():
+        call = jax.jit(call)
+    return call
+
+
+def pfinv(spec: FieldSpec, ncoord: int, a):
+    """Coordinate-ring inversion of (npl, B) planes elements (nonzero)."""
+    npl = _nplanes(spec, ncoord)
+    return _wrap_planes(_finv_call(spec, ncoord), npl, (a,))[0]
+
+
+@functools.cache
+def _madd_select_call(spec: FieldSpec, ncoord: int):
+    """out = cond ? P + Q : P with Jacobian P and AFFINE Q (Z2 = 1,
+    never infinity — the caller folds Q's infinity flag into cond):
+    the mixed add saves ~6M + 1S over the general add."""
+    R = _kring(spec, ncoord)
+
+    def kernel(ax, ay, az, nx, ny, c_ref, ox, oy, oz):
+        X1, Y1, Z1 = R.load(ax), R.load(ay), R.load(az)
+        x2, y2 = R.load(nx), R.load(ny)
+        cond = c_ref[0] > 0
+        out = _madd_core(R, X1, Y1, Z1, x2, y2)
+        for ref, o, orig in zip((ox, oy, oz), out, (X1, Y1, Z1)):
+            R.store(ref, R.select(cond, o, orig))
+
+    return _make_call(kernel, R.nplanes, n_in=5, n_out=3, n_cond=1)
 
 
 # ---------------------------------------------------------------------------
@@ -360,8 +575,9 @@ def g1_double(spec, P):
 # ---------------------------------------------------------------------------
 
 
-def _wrap_planes(call, npl: int, coords, conds=()):
-    """coords: (npl, B) uint32 arrays; pads B to a 1024 multiple."""
+def _wrap_planes(call, npl: int, coords, conds=(), n_cond_out: int = 0):
+    """coords: (npl, B) uint32 arrays; pads B to a 1024 multiple.  The
+    last n_cond_out outputs are flag-shaped (B,) instead of (npl, B)."""
     B = coords[0].shape[1]
     Bp = -(-B // 1024) * 1024
     shaped = []
@@ -376,7 +592,10 @@ def _wrap_planes(call, npl: int, coords, conds=()):
             cd = jnp.pad(cd, (0, Bp - B))
         cargs.append(cd.reshape(Bp // 1024, 8, 128))
     outs = call(*shaped, *cargs)
-    return tuple(o.reshape(npl, Bp)[:, :B] for o in outs)
+    n_coord_out = len(outs) - n_cond_out
+    res = [o.reshape(npl, Bp)[:, :B] for o in outs[:n_coord_out]]
+    res += [o.reshape(Bp)[:B] for o in outs[n_coord_out:]]
+    return tuple(res)
 
 
 def padd(spec: FieldSpec, ncoord: int, P, Q):
@@ -393,6 +612,37 @@ def padd_if(spec: FieldSpec, ncoord: int, cond, P, Q):
 def pdouble(spec: FieldSpec, ncoord: int, P, k: int = 1):
     npl = _nplanes(spec, ncoord)
     return _wrap_planes(_double_call(spec, ncoord, k), npl, P)
+
+
+def pfmul(spec: FieldSpec, ncoord: int, a, b):
+    """Coordinate-ring product on (npl, B) planes operands."""
+    npl = _nplanes(spec, ncoord)
+    return _wrap_planes(_fmul_call(spec, ncoord), npl, (a, b))[0]
+
+
+def paff_denom(spec: FieldSpec, ncoord: int, P, Q, infP, infQ):
+    """P, Q: affine (x, y) planes tuples; infP/infQ: (B,) flags.
+    Returns (d, inf3): the slope denominator to batch-invert and the
+    result-infinity flag."""
+    npl = _nplanes(spec, ncoord)
+    return _wrap_planes(
+        _aff_denom_call(spec, ncoord), npl, (*P, *Q), (infP, infQ), n_cond_out=1
+    )
+
+
+def paff_apply(spec: FieldSpec, ncoord: int, P, Q, inv_d, infP, infQ):
+    """Affine P + Q given inv_d = (slope denominator)^-1; returns
+    (x3, y3) planes (garbage where inf3 — callers must carry the flag)."""
+    npl = _nplanes(spec, ncoord)
+    return _wrap_planes(
+        _aff_apply_call(spec, ncoord), npl, (*P, *Q, inv_d), (infP, infQ)
+    )
+
+
+def pmadd_if(spec: FieldSpec, ncoord: int, cond, P, Q):
+    """cond ? P + Q : P with Jacobian P and affine (x, y) Q planes."""
+    npl = _nplanes(spec, ncoord)
+    return _wrap_planes(_madd_select_call(spec, ncoord), npl, (*P, *Q), (cond,))
 
 
 def pinfinity(spec: FieldSpec, ncoord: int, B: int):

@@ -156,6 +156,13 @@ class Fq2Ring:
         return self.F.decode(a)
 
 
+def _vary_like(init, like):
+    """Make a constant loop-carry init inherit the varying manual axes
+    of `like` so fori_loop carries type-match under shard_map (the
+    `x & 0` contributes nothing numerically but carries the vma)."""
+    return tuple(i ^ (c & 0) for i, c in zip(init, like))
+
+
 class JCurve:
     """One curve group; points are (X, Y, Z) tuples of ring elements.
 
@@ -347,7 +354,7 @@ class JCurve:
             bit = (limb >> (jj % np.uint32(LIMB_BITS))) & 1
             return self.add_if(bit > 0, acc, P)
 
-        acc0 = self.infinity(self.batch_shape(P))
+        acc0 = _vary_like(self.infinity(self.batch_shape(P)), P)
         return jax.lax.fori_loop(0, nbits, body, acc0)
 
     @functools.partial(jax.jit, static_argnums=0)
@@ -394,7 +401,7 @@ class JCurve:
             digit = (limb >> shift) & ((1 << c) - 1)
             return self.add(acc, lookup(digit))
 
-        acc0 = self.infinity(self.batch_shape(P))
+        acc0 = _vary_like(self.infinity(self.batch_shape(P)), P)
         return jax.lax.fori_loop(0, n_windows, body, acc0)
 
     def scalar_mul_int(self, P, c: int):

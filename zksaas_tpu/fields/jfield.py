@@ -341,7 +341,9 @@ class Field:
         arkworks' Option -> the callers here never invert 0 on the hot
         path)."""
         bits = jnp.asarray(self._inv_bits)
-        one = self.ones(a.shape[:-1])
+        # ^ (a & 0): inherit a's varying manual axes for the loop carry
+        # (shard_map fori_loop typing; numerically a no-op)
+        one = self.ones(a.shape[:-1]) ^ (a & 0)
 
         def body(i, acc):
             acc = self.square(acc)
