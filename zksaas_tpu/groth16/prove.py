@@ -136,15 +136,27 @@ def d_prove(
     """The full per-party prove protocol (dsha256, sha256.rs:32-129):
     ext_wit -> A -> B(G1) -> B(G2) -> C.  Returns packed shares of
     (pi_a, pi_b_g2, pi_c); the dealer unpack2s them."""
+    from ..utils.trace import span
+
     k_h, _ = jax.random.split(key)
-    h_share = circom_h(pp, qap_share, masks.fft_masks, masks.degred_mask, net, k_h)
-    pi_a = prove_a(pp, g1, crs, a_share, r_share, masks.g1_msm_masks[0], net, 0)
-    pi_b1 = prove_b_g1(pp, g1, crs, a_share, s_share, masks.g1_msm_masks[1], net, 0)
-    pi_b2 = prove_b_g2(pp, g2, crs, a_share, s_share, masks.g2_msm_mask, net, 0)
-    pi_c = prove_c(
-        pp, g1, crs, pi_a, pi_b1, r_share, s_share, ax_share, h_share,
-        masks.g1_msm_masks[2:4], net,
-    )
+    h_share = None
+    with span("prove.ext_wit", sync=lambda: h_share):
+        h_share = circom_h(pp, qap_share, masks.fft_masks, masks.degred_mask, net, k_h)
+    pi_a = None
+    with span("prove.A", sync=lambda: pi_a):
+        pi_a = prove_a(pp, g1, crs, a_share, r_share, masks.g1_msm_masks[0], net, 0)
+    pi_b1 = None
+    with span("prove.B_g1", sync=lambda: pi_b1):
+        pi_b1 = prove_b_g1(pp, g1, crs, a_share, s_share, masks.g1_msm_masks[1], net, 0)
+    pi_b2 = None
+    with span("prove.B_g2", sync=lambda: pi_b2):
+        pi_b2 = prove_b_g2(pp, g2, crs, a_share, s_share, masks.g2_msm_mask, net, 0)
+    pi_c = None
+    with span("prove.C", sync=lambda: pi_c):
+        pi_c = prove_c(
+            pp, g1, crs, pi_a, pi_b1, r_share, s_share, ax_share, h_share,
+            masks.g1_msm_masks[2:4], net,
+        )
     return pi_a, pi_b2, pi_c
 
 
