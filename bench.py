@@ -29,12 +29,13 @@ import numpy as np
 def main():
     m = int(os.environ.get("BENCH_MSM_SIZE", 1 << 14))
     iters = int(os.environ.get("BENCH_ITERS", 3))
+    family = os.environ.get("BENCH_CURVE", "bn254")  # bn254 / bls12_381 / bls12_377
 
     from zksaas_tpu.curves import curve_g1
-    from zksaas_tpu.fields import BN254_FR, field
+    from zksaas_tpu.fields import FIELDS, field
 
-    C = curve_g1()
-    F = field(BN254_FR)
+    C = curve_g1(family)
+    F = field(FIELDS[f"{family}_fr"])
 
     # bases: a few distinct points tiled to m (host point-gen is slow;
     # the kernel cost is data-independent)
@@ -79,6 +80,7 @@ def main():
                 "vs_baseline": round(vs, 3),
                 "detail": {
                     "m": m,
+                    "curve": family,
                     "iter_s": round(dt, 4),
                     "compile_s": round(compile_s, 1),
                     "device": str(jax.devices()[0]),

@@ -45,6 +45,10 @@ def test_host_star_deg_red(lossy):
         )  # (n, 1, K)
         got = F.decode(pp.unpack(jnp.swapaxes(all_shares, 0, 1)))
         assert list(got[0]) == [49]
+        # observability contract: rounds and wire bytes were counted
+        st = net.stats()
+        assert st["rounds"] >= 2
+        assert st["bytes_in"] > 0 and st["bytes_out"] > 0
     finally:
         net.close()
         for p in procs:
