@@ -17,7 +17,7 @@ import sys
 # pytest_runtest_call below).
 import threading
 
-_BIG_STACK = 512 << 20
+_BIG_STACK = 2 << 30  # 2 GB: BLS12-381/377 (24-limb Fq) graphs overflow 512 MB
 
 # force CPU: the ambient environment pins JAX_PLATFORMS=axon (the real
 # TPU tunnel); tests must run on the 8-device virtual CPU mesh and must
