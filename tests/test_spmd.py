@@ -126,6 +126,44 @@ def test_spmd_d_msm_matches_oracle(mesh):
     assert got == expected
 
 
+def test_spmd_deg_red_sharded_matches_king(mesh):
+    """num % n == 0 triggers the sharded-king path (two all_to_alls);
+    output must be BIT-identical to the LocalNet king round."""
+    from zksaas_tpu.comm import LocalNet
+
+    pp = pss(SPEC, L)
+    F = pp.F
+    num = N  # divisible by n -> sharded path
+    rng = random.Random(64)
+    secrets = [[rng.randrange(SPEC.p) for _ in range(L)] for _ in range(num)]
+    key = jax.random.PRNGKey(74)
+    k1, k2, k3 = jax.random.split(key, 3)
+    shares = pp.pack(F.encode(secrets), pp.rand_pads(k1, (num,)))  # (num, n, K)
+    x = jnp.swapaxes(F.mul(shares, shares), 0, 1)  # (n, num, K)
+    mask = DegRedMask.sample(pp, num, k2)
+
+    want = deg_red(pp, x, mask, LocalNet(pp.n), k3)  # king path oracle
+
+    net = SpmdNet(N, "parties")
+    shard, repl = P("parties"), P()
+
+    @jax.jit
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(shard, (shard, shard), repl),
+        out_specs=shard,
+    )
+    def step(xs, mask_arrays, key):
+        m = DegRedMask(in_mask=mask_arrays[0][0], out_mask=mask_arrays[1][0])
+        return deg_red(pp, xs[0], m, net, key)[None]
+
+    got = step(x, (mask.in_mask, mask.out_mask), k3)
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(got)), np.asarray(jax.device_get(want))
+    )
+
+
 def test_spmd_deg_red_matches_local(mesh):
     pp = pss(SPEC, L)
     F = pp.F

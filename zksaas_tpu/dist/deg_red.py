@@ -17,11 +17,42 @@ import jax.numpy as jnp
 from ..pss.pss import PackedSharingParams
 
 
+def _deg_red_sharded(pp: PackedSharingParams, xm, key, net):
+    """Sharded-king degree reduction for the SPMD mesh path: instead of
+    gathering every share to a (replicated) king, the chunk axis is
+    split across the mesh — each device unpacks and re-packs an equal
+    shard of the sharings.  Two all_to_alls move 1/n of the all_gather
+    bytes and the king compute runs n-way parallel ("butterfly"-style
+    exchange per the north star; privacy unchanged — devices only ever
+    see masked values, same as the king).  Bit-identical to the king
+    path (same unpack2 matrix, same pads from the replicated key)."""
+    F = pp.F
+    n = pp.n
+    num = xm.shape[-2]
+    C = num // n
+    me = jax.lax.axis_index(net.axis)
+    # redistribute: my shares of chunk-range e -> device e
+    blocks = xm.reshape(n, C, F.k)
+    recv = jax.lax.all_to_all(blocks, net.axis, split_axis=0, concat_axis=0)
+    sh = jnp.swapaxes(recv, 0, 1)  # (C, n, K): all parties' shares of MY chunks
+    secrets = pp.unpack2(sh)  # (C, l, K)
+    pads = pp.rand_pads(key, (num,))  # replicated; slice = king's pads
+    my_pads = jax.lax.dynamic_slice_in_dim(pads, me * C, C, axis=0)
+    out = pp.pack(secrets, my_pads)  # (C, n, K)
+    back = jax.lax.all_to_all(out, net.axis, split_axis=1, concat_axis=0)
+    return back.reshape(num, F.k)
+
+
 def deg_red(pp: PackedSharingParams, x_share, mask, net, key, channel=0):
     """x_share: (..., num, K) packed-share values (num sharings per
     party); returns re-packed degree-(t+l-1) shares."""
     F = pp.F
     xm = F.add(x_share, mask.in_mask)
+
+    num = x_share.shape[-2]
+    if getattr(net, "axis", None) is not None and num % pp.n == 0 and x_share.ndim == 2:
+        out_share = _deg_red_sharded(pp, xm, key, net)
+        return F.add(out_share, mask.out_mask)
 
     def king_fn(shares, parties):
         # (n_present, num, K) -> (num, n_present, K)
