@@ -126,6 +126,48 @@ def test_spmd_d_msm_matches_oracle(mesh):
     assert got == expected
 
 
+@pytest.mark.parametrize("rearrange,g", [(False, 5), (True, 1)])
+def test_spmd_d_ifft_sharded_matches_king(mesh, rearrange, g):
+    """m/l divisible by n AND chunks-per-device divisible by l triggers
+    the sharded-king fft2 (all_to_all butterflies); output must be
+    BIT-identical to the LocalNet king round."""
+    from zksaas_tpu.comm import LocalNet
+
+    pp = pss(SPEC, L)
+    F = pp.F
+    m = 64  # m/l = 32, C = 4, C % l == 0 -> sharded path
+    dom = domain(SPEC, m)
+    rng = random.Random(65)
+    evals = [rng.randrange(SPEC.p) for _ in range(m)]
+    key = jax.random.PRNGKey(75)
+    k1, k2, k3 = jax.random.split(key, 3)
+    x = jnp.asarray(F.encode(evals))[np.asarray(rearrange_perm(m))]
+    chunks = stride_chunks(x, pp.l)
+    shares = jnp.swapaxes(pp.pack(chunks, pp.rand_pads(k1, (m // pp.l,))), 0, 1)
+    mask = FftMask.sample(rearrange, g, dom.group_gen_inv, m, pp, k2)
+
+    want = d_ifft(pp, shares, mask, rearrange, dom, g, LocalNet(pp.n), k3)
+
+    net = SpmdNet(N, "parties")
+    shard, repl = P("parties"), P()
+
+    @jax.jit
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(shard, (shard, shard), repl),
+        out_specs=shard,
+    )
+    def step(sh, mask_arrays, key):
+        mk = FftMask(in_mask=mask_arrays[0][0], out_mask=mask_arrays[1][0])
+        return d_ifft(pp, sh[0], mk, rearrange, dom, g, net, key)[None]
+
+    got = step(shares, (mask.in_mask, mask.out_mask), k3)
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(got)), np.asarray(jax.device_get(want))
+    )
+
+
 def test_spmd_deg_red_sharded_matches_king(mesh):
     """num % n == 0 triggers the sharded-king path (two all_to_alls);
     output must be BIT-identical to the LocalNet king round."""

@@ -153,11 +153,230 @@ class _FftKing:
         return jnp.swapaxes(out, 0, 1)  # (n, m/l, K)
 
 
+# ---------------------------------------------------------------------------
+# Sharded-king fft2 (SPMD mesh path)
+#
+# The king's O(m log l) work decomposes exactly across the mesh: the
+# fft2 butterfly stages only ever combine values originating from the
+# SAME chunk (each stage pairs adjacent array elements, and the stage
+# output permutation is pure bit bookkeeping — after all log(l) stages
+# the array position of chunk c's q-th combination is q*(m/l) + c).
+# So each device can unpack and transform an equal range of chunks:
+#
+#   all_to_all (redistribute masked shares by chunk range)
+#   -> per-chunk unpack (M_unpack2 matvec)
+#   -> per-chunk stage-composition matrix T[c] (host-precomputed)
+#   -> the trailing roll-by-1 (one ppermute of the boundary column)
+#   -> coset powers (static table slice)
+#   -> re-pack in out-chunk order (static gather tables)
+#   -> all_to_all (each party's fresh shares) -> static receiver perm
+#
+# Two all_to_alls move 1/n of the replicated-king all_gather bytes and
+# the king compute runs n-way parallel — the north star's "butterfly
+# stages exchanged all-to-all".  Bit-identical to the king path (same
+# matrices, same pads).  Privacy unchanged: devices only see masked
+# values, exactly like the king.
+# ---------------------------------------------------------------------------
+
+
+@functools.cache
+def _fft2_chunk_mats(spec: FieldSpec, m: int, l: int, gen: int):
+    """Simulate fft2_king's stage loop symbolically: returns host-int
+    T of shape (m/l, l, l) with  stage_out[q*(m/l) + c] =
+    sum_j T[c][q][j] * s1[c*l + j],  asserting the position structure."""
+    import numpy as np
+
+    p = spec.p
+    log_l = l.bit_length() - 1
+    state = [
+        (g // l, tuple(1 if j == g % l else 0 for j in range(l)))
+        for g in range(m)
+    ]
+    for i in range(log_l, 0, -1):
+        ps = m >> i
+        half = 1 << (i - 1)
+        stride = pow(gen, 1 << (i - 1), p)
+        tab = [0] * ps
+        f = stride
+        for a in range(ps):
+            tab[a] = f
+            f = (f * stride) % p
+        new = [None] * m
+        for a in range(ps):
+            fa = tab[a]
+            for h in range(half):
+                cx, vx = state[a * 2 * half + 2 * h]
+                cy, vy = state[a * 2 * half + 2 * h + 1]
+                assert cx == cy, "fft2 stage mixed chunks"
+                add = tuple((u + fa * v) % p for u, v in zip(vx, vy))
+                sub = tuple((u - fa * v) % p for u, v in zip(vx, vy))
+                new[a * half + h] = (cx, add)
+                new[m // 2 + a * half + h] = (cx, sub)
+        state = new
+    T = [[None] * l for _ in range(m // l)]
+    for x, (c, vec) in enumerate(state):
+        q, cc = divmod(x, m // l)
+        assert cc == c, "fft2 stage-out position structure violated"
+        T[c][q] = vec
+    return tuple(tuple(r) for r in T)
+
+
+@functools.cache
+def _sharded_fft_tables(m: int, l: int, n: int, rearrange: bool):
+    """Static index tables for the sharded pack/scatter phase.
+
+    Out-chunk k draws its slot-t value from stripe q'(k), column
+    c'(k, t) of the stage-out array (x = q*(m/l) + c):
+      rearrange: x' = bitrev_m(k + t*m/l) -> q' = rev_ll(k mod l),
+                 c' = (rev_{lm-ll}(k) mod 2^{lm-2ll})*l + rev_ll(t)
+      plain:     x' = k*l + t          -> q' = k >> (lm-2ll),
+                 c' = (k mod 2^{lm-2ll})*l + t
+    Device d owns columns [d*C, (d+1)*C) and packs the out-chunks whose
+    column block falls in its range, ordered by ascending k.  Returns
+    (gather_idx (n, C, l) into the flattened (l*C,) local stripe array,
+     k_of (n, C) out-chunk ids, recv_perm (m/l,) receiver ordering)."""
+    import numpy as np
+
+    mbyl = m // l
+    C = mbyl // n
+    lm = m.bit_length() - 1
+    ll = l.bit_length() - 1
+
+    def rev(x, nb):
+        r = 0
+        for _ in range(nb):
+            r = (r << 1) | (x & 1)
+            x >>= 1
+        return r
+
+    per_dev = [[] for _ in range(n)]  # list of k, ascending
+    qp = np.zeros(mbyl, dtype=np.int64)
+    cp = np.zeros((mbyl, l), dtype=np.int64)
+    for k in range(mbyl):
+        if rearrange:
+            rk = rev(k, lm - ll)
+            q = rev(k & (l - 1), ll)
+            base = (rk % (1 << (lm - 2 * ll))) * l
+            cols = [base + rev(t, ll) for t in range(l)]
+        else:
+            q = k >> (lm - 2 * ll)
+            base = (k % (1 << (lm - 2 * ll))) * l
+            cols = [base + t for t in range(l)]
+        qp[k] = q
+        cp[k] = cols
+        per_dev[cols[0] // C].append(k)
+
+    gather_idx = np.zeros((n, C, l), dtype=np.int32)
+    k_of = np.zeros((n, C), dtype=np.int32)
+    recv_perm = np.zeros(mbyl, dtype=np.int32)
+    for d in range(n):
+        assert len(per_dev[d]) == C, "unbalanced out-chunk assignment"
+        for u, k in enumerate(per_dev[d]):
+            k_of[d, u] = k
+            recv_perm[k] = d * C + u
+            for t in range(l):
+                # flattened (l, C) local stripe array index
+                gather_idx[d, u, t] = qp[k] * C + (cp[k, t] - d * C)
+    return gather_idx, k_of, recv_perm
+
+
+@functools.cache
+def _powers_table(spec: FieldSpec, g: int, m: int):
+    """NUMPY (host) table — jnp conversion happens at the call site so
+    no traced value is ever cached (shard_map wraps even asarray)."""
+    import numpy as np
+
+    F = field(spec)
+    p = spec.p
+    pows = [1] * m
+    for i in range(1, m):
+        pows[i] = (pows[i - 1] * g) % p
+    return np.asarray(F.encode(pows))
+
+
+def _fft2_sharded(pp, xm, rearrange, g, gen, net, key):
+    """xm: (m/l, K) THIS party's masked post-fft1 shares (inside
+    shard_map over net.axis).  Returns this party's fresh shares."""
+    F = pp.F
+    n = pp.n
+    mbyl = xm.shape[-2]
+    m = mbyl * pp.l
+    l = pp.l
+    C = mbyl // n
+    me = jax.lax.axis_index(net.axis)
+
+    # 1. redistribute: my shares of chunk-range e -> device e
+    blocks = xm.reshape(n, C, F.k)
+    recv = jax.lax.all_to_all(blocks, net.axis, split_axis=0, concat_axis=0)
+    sh = jnp.swapaxes(recv, 0, 1)  # (C, n, K): all parties' shares of MY chunks
+    secrets = pp.unpack2(sh)  # (C, l, K)
+
+    # 2. per-chunk stage-composition matrix
+    Tall = jnp.asarray(_fft2_mats_enc(pp.spec, m, l, gen))  # (m/l, l, l, K)
+    Tmine = jax.lax.dynamic_slice_in_dim(Tall, me * C, C, axis=0)
+    prod = F.mul(Tmine, secrets[:, None, :, :])  # (C, l, l, K)
+    vals = F.sum(prod, axis=-1)  # (C, l, K): [c, q] = stage-out at q*(m/l)+me*C+c
+    S = jnp.swapaxes(vals, 0, 1)  # (l, C, K) stripe-major
+
+    # 3. roll by 1 in x order: each column shifts right; column 0 takes
+    # the previous device's last column (stripe-shifted on device 0,
+    # where the stripe index decrements across the wrap)
+    last_col = S[:, -1]  # (l, K)
+    prev_last = jax.lax.ppermute(
+        last_col, net.axis, [(i, (i + 1) % n) for i in range(n)]
+    )
+    first_col = jnp.where(me == 0, jnp.roll(prev_last, 1, axis=0), prev_last)
+    S = jnp.concatenate([first_col[:, None], S[:, :-1]], axis=1)
+
+    # 4. coset powers at global position x = q*(m/l) + me*C + c
+    if g != 1:
+        P = jnp.asarray(_powers_table(pp.spec, g, m).reshape(l, mbyl, F.k))
+        Pm = jax.lax.dynamic_slice_in_dim(P, me * C, C, axis=1)
+        S = F.mul(S, Pm)
+
+    # 5. pack my out-chunks (static gather tables) with the king's pads
+    gi, ko, rp = _sharded_fft_tables(m, l, n, rearrange)
+    gi_me = jnp.take(jnp.asarray(gi), me, axis=0)  # (C, l)
+    ko_me = jnp.take(jnp.asarray(ko), me, axis=0)  # (C,)
+    flat = S.reshape(l * C, F.k)
+    chunks = jnp.take(flat, gi_me.reshape(-1), axis=0).reshape(C, l, F.k)
+    pads = pp.rand_pads(key, (mbyl,))
+    my_pads = jnp.take(pads, ko_me, axis=0)
+    out = pp.pack(chunks, my_pads)  # (C, n, K)
+
+    # 6. scatter + static receiver reorder to canonical out-chunk order
+    back = jax.lax.all_to_all(out, net.axis, split_axis=1, concat_axis=0)
+    return jnp.take(back.reshape(mbyl, F.k), jnp.asarray(rp), axis=0)
+
+
+@functools.cache
+def _fft2_mats_enc(spec: FieldSpec, m: int, l: int, gen: int):
+    F = field(spec)
+    T = _fft2_chunk_mats(spec, m, l, gen)
+    import numpy as np
+
+    flat = [T[c][q][j] for c in range(m // l) for q in range(l) for j in range(l)]
+    # NUMPY result: a traced jnp value here (even plain asarray under
+    # shard_map) would cache a tracer from whichever transformation
+    # first populated the cache
+    return np.asarray(F.encode(flat)).reshape(m // l, l, l, F.k)
+
+
 def _fft2_with_rearrange(pp, px, mask, rearrange, g, gen, net, key, channel):
     """dfft/mod.rs:240-320: mask -> gather -> king -> scatter -> unmask."""
     F = pp.F
     m = px.shape[-2] * pp.l
     out = F.add(px, mask.in_mask)
+    mbyl = m // pp.l
+    if (
+        getattr(net, "axis", None) is not None
+        and px.ndim == 2
+        and mbyl % pp.n == 0
+        and (mbyl // pp.n) % pp.l == 0
+        and m >= pp.l * pp.l
+    ):
+        out_share = _fft2_sharded(pp, out, rearrange, g, gen, net, key)
+        return F.add(out_share, mask.out_mask)
     king = _FftKing(pp, m, gen, g, rearrange)
     king_fn = lambda xs, parties: king((xs, key), parties)
     out_share = net.round(out, king_fn, channel)
