@@ -23,6 +23,7 @@ import numpy as np
 
 from zksaas_tpu.curves import curve_g1, curve_g2
 from zksaas_tpu.curves.fused import (
+    _aadd_core,
     _add_core,
     _aff_apply_core,
     _aff_denom_core,
@@ -171,6 +172,30 @@ def test_core_batch_affine_add_g2():
     P, Q, infP, infQ = _affine_case_batch(C, seed=31)
     X3, Y3, inf3 = _batch_affine_add(C, 2, P, Q, infP, infQ)
     _assert_matches_ref_add(C, 2, P, Q, infP, infQ, X3, Y3, inf3)
+
+
+def _check_aadd(C, ncoord, seed):
+    P, Q, infP, infQ = _affine_case_batch(C, seed=seed)
+    R = _kring(C.R.F.spec, ncoord)
+    nP, nQ = _np_point(ncoord, P), _np_point(ncoord, Q)
+    X3, Y3, Z3 = _aadd_core(R, nP[0], nP[1], nQ[0], nQ[1], infP > 0, infQ > 0)
+    got = C.decode(tuple(jnp.asarray(_back(ncoord, c)) for c in (X3, Y3, Z3)))
+    ref_pts = C.decode(P)
+    ref_qts = C.decode(Q)
+    for i in range(len(infP)):
+        p = None if infP[i] else ref_pts[i]
+        q = None if infQ[i] else ref_qts[i]
+        assert got[i] == C.ref.add(p, q), f"i={i}: aadd mismatch"
+
+
+def test_core_affine_affine_add_g1():
+    """_aadd_core (affine + affine -> Jacobian, the widest MSM tree
+    level) == host oracle, incl. double / inverse / infinity cases."""
+    _check_aadd(curve_g1(), 1, seed=51)
+
+
+def test_core_affine_affine_add_g2():
+    _check_aadd(curve_g2(), 2, seed=61)
 
 
 def test_core_mixed_add():

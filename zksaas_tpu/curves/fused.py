@@ -378,6 +378,55 @@ def _madd_core(R, X1, Y1, Z1, x2, y2):
     return out
 
 
+def _aadd_core(R, X1, Y1, X2, Y2, inf1, inf2):
+    """Complete affine + affine -> Jacobian add (a = 0 curves):
+    mmadd-2007-bl, 4M + 3S vs ~12M + 7S for the general Jacobian add.
+    Powers the widest MSM reduction-tree level, where both inputs are
+    still the affine-normalized leaves (half of all tree adds)."""
+    one = R.one(X1)
+    zero = R.zero(X1)
+    H = R.sub(X2, X1)
+    rr = R.dbl(R.sub(Y2, Y1))
+    I = R.sqr(R.dbl(H))
+    J = R.mm(H, I)
+    V = R.mm(X1, I)
+    X3 = R.sub(R.sub(R.sqr(rr), J), R.dbl(V))
+    Y3 = R.sub(R.mm(rr, R.sub(V, X3)), R.dbl(R.mm(Y1, J)))
+    Z3 = R.dbl(H)
+
+    h0 = R.is_zero(H)
+    r0 = R.is_zero(rr)
+    is_dbl = xp.logical_and(h0, r0)
+    is_inf_res = xp.logical_and(h0, xp.logical_not(r0))
+    dX, dY, dZ = _double_core(R, X1, Y1, one)
+
+    out = [X3, Y3, Z3]
+    out = [R.select(is_dbl, d, o) for d, o in zip((dX, dY, dZ), out)]
+    out = [R.select(is_inf_res, i, o) for i, o in zip((one, one, zero), out)]
+    Zq = R.select(inf2, zero, one)
+    out = [R.select(inf1, q, o) for q, o in zip((X2, Y2, Zq), out)]
+    Zp = R.select(inf1, zero, one)
+    out = [R.select(inf2, p, o) for p, o in zip((X1, Y1, Zp), out)]
+    return out
+
+
+@functools.cache
+def _aadd_call(spec: FieldSpec, ncoord: int):
+    R = _kring(spec, ncoord)
+
+    def kernel(x1, y1, x2, y2, i1, i2, ox, oy, oz):
+        X1, Y1 = R.load(x1), R.load(y1)
+        X2, Y2 = R.load(x2), R.load(y2)
+        inf1 = i1[0] > 0
+        inf2 = i2[0] > 0
+        X3, Y3, Z3 = _aadd_core(R, X1, Y1, X2, Y2, inf1, inf2)
+        R.store(ox, X3)
+        R.store(oy, Y3)
+        R.store(oz, Z3)
+
+    return _make_call(kernel, R.nplanes, n_in=4, n_out=3, n_cond=2)
+
+
 @functools.cache
 def _aff_denom_call(spec: FieldSpec, ncoord: int):
     """Denominator of the affine-add slope: x2 - x1 (general), 2*y1
@@ -637,6 +686,13 @@ def paff_apply(spec: FieldSpec, ncoord: int, P, Q, inv_d, infP, infQ):
     return _wrap_planes(
         _aff_apply_call(spec, ncoord), npl, (*P, *Q, inv_d), (infP, infQ)
     )
+
+
+def paddaa(spec: FieldSpec, ncoord: int, P, Q, infP, infQ):
+    """Complete affine + affine -> Jacobian add on planes points.
+    P, Q: (x, y) planes tuples; infP/infQ: (B,) flags."""
+    npl = _nplanes(spec, ncoord)
+    return _wrap_planes(_aadd_call(spec, ncoord), npl, (*P, *Q), (infP, infQ))
 
 
 def pmadd_if(spec: FieldSpec, ncoord: int, cond, P, Q):

@@ -47,6 +47,7 @@ from ..fields.spec import LIMB_BITS
 from .fused import (
     padd,
     padd_if,
+    paddaa,
     paff_apply,
     paff_denom,
     pdouble,
@@ -59,14 +60,22 @@ from .fused import (
 )
 from .jcurve import JCurve
 
-WINDOW = 8
+import os
+
+WINDOW = int(os.environ.get("ZKSAAS_MSM_WINDOW", 8))
 # max slots in the flat all-windows virtual array (memory guard: the
 # affine tree keeps ~2x this many (x, y) coordinate pairs live)
-MAX_VIRT = 1 << 21
-# use batch-affine adds while a tree level has at least this many adds;
-# below it the fixed cost of the inversion round-trip exceeds the
-# per-add savings and plain Jacobian adds win
-AFF_MIN = 1 << 15
+MAX_VIRT = 1 << int(os.environ.get("ZKSAAS_MSM_MAXVIRT", 21))
+# use batch-affine adds while a tree level has at least this many adds
+# (0 = disabled).  Disabled by default: measured on TPU v5e the
+# batch-affine level (denom kernel + multi-level inversion product tree
+# + apply kernel) is ~65x SLOWER than the single fused-Jacobian padd
+# kernel — the saved multiplies are dwarfed by the extra HBM round
+# trips between kernels (4k vs 260k pts/s at m=2^14).  The path is kept
+# for architectures where compute, not bandwidth, is the bottleneck.
+AFF_MIN = int(os.environ.get("ZKSAAS_MSM_AFF_MIN", 0))
+if AFF_MIN == 0:
+    AFF_MIN = 1 << 62
 
 
 def _psum(spec, ncoord, Pp):
@@ -145,17 +154,6 @@ def _to_affine_planes(spec, ncoord: int, Pp):
     return xa, ya, inf.astype(jnp.uint32)
 
 
-def _aff_to_jac(spec, ncoord: int, npl: int, stack, inf):
-    """(x, y) stacked affine planes + inf flag -> stacked Jacobian
-    (X, Y, Z) with the canonical (1, 1, 0) infinity."""
-    one = pinfinity(spec, ncoord, stack.shape[1])[0]
-    m = inf[None, :] > 0
-    x = jnp.where(m, one, stack[:npl])
-    y = jnp.where(m, one, stack[npl:])
-    z = jnp.where(m, jnp.zeros_like(one), one)
-    return jnp.concatenate([x, y, z], axis=0)
-
-
 @functools.partial(jax.jit, static_argnums=0)
 def msm_pippenger(curve: JCurve, P, scalars_mont):
     """sum_i P[i] * s[i] over axis 0.  P: points (m, ...); scalars:
@@ -225,10 +223,23 @@ def msm_pippenger(curve: JCurve, P, scalars_mont):
                 cur = jnp.concatenate([x3, y3], axis=0)
                 curinf = inf3
                 levels.append(("aff", cur, curinf))
+            elif kind == "aff":
+                # widest Jacobian level: both inputs still affine —
+                # one fused affine+affine->Jacobian kernel (4M+3S per
+                # add, no _aff_to_jac materialization)
+                nxt = paddaa(
+                    spec,
+                    ncoord,
+                    (cur[:npl, 0::2], cur[npl:, 0::2]),
+                    (cur[:npl, 1::2], cur[npl:, 1::2]),
+                    curinf[0::2],
+                    curinf[1::2],
+                )
+                cur = jnp.concatenate(nxt, axis=0)
+                curinf = None
+                kind = "jac"
+                levels.append(("jac", cur, None))
             else:
-                if kind == "aff":
-                    cur = _aff_to_jac(spec, ncoord, npl, cur, curinf)
-                    kind = "jac"
                 nxt = padd(spec, ncoord, unstack3(cur[:, 0::2]), unstack3(cur[:, 1::2]))
                 cur = jnp.concatenate(nxt, axis=0)
                 levels.append(("jac", cur, None))
