@@ -25,8 +25,6 @@ from zksaas_tpu.curves import curve_g1, curve_g2
 from zksaas_tpu.curves.fused import (
     _aadd_core,
     _add_core,
-    _aff_apply_core,
-    _aff_denom_core,
     _double_core,
     _kring,
     _madd_core,
@@ -124,54 +122,6 @@ def _affine_case_batch(C, seed):
     infQ[3] = 1  # Q = inf
     infP[4] = infQ[4] = 1  # both inf
     return P, Q, infP, infQ
-
-
-def _batch_affine_add(C, ncoord, P, Q, infP, infQ):
-    """Run the denom -> host inversion -> apply pipeline on numpy."""
-    R = _kring(C.R.F.spec, ncoord)
-    F = C.R.F
-    nP, nQ = _np_point(ncoord, P), _np_point(ncoord, Q)
-    X1, Y1 = nP[0], nP[1]
-    X2, Y2 = nQ[0], nQ[1]
-    d, inf3 = _aff_denom_core(R, X1, Y1, X2, Y2, infP > 0, infQ > 0)
-    # invert d on the host (the device path uses _pbatch_inv/pfinv)
-    d_arr = jnp.asarray(_back(ncoord, d))
-    ivd = C.R.batch_inv(d_arr, axis=0)
-    ivd_np = _np_elem(ncoord, ivd)
-    X3, Y3 = _aff_apply_core(R, X1, Y1, X2, Y2, ivd_np, infP > 0, infQ > 0)
-    return X3, Y3, np.asarray(inf3)
-
-
-def _assert_matches_ref_add(C, ncoord, P, Q, infP, infQ, X3, Y3, inf3):
-    ref_pts = C.decode(P)
-    ref_qts = C.decode(Q)
-    x3 = jnp.asarray(_back(ncoord, X3))
-    y3 = jnp.asarray(_back(ncoord, Y3))
-    ones = C.R.ones((len(infP),))
-    z3 = C.R.select(jnp.asarray(inf3 == 0), ones, C.R.zeros((len(infP),)))
-    got = C.decode((x3, y3, z3))
-    for i in range(len(infP)):
-        p = None if infP[i] else ref_pts[i]  # CurveRef infinity is None
-        q = None if infQ[i] else ref_qts[i]
-        want = C.ref.add(p, q)
-        if want is None:
-            assert inf3[i] == 1, f"i={i}: expected infinity flag"
-        else:
-            assert inf3[i] == 0 and got[i] == want, f"i={i}: affine add mismatch"
-
-
-def test_core_batch_affine_add_g1():
-    C = curve_g1()
-    P, Q, infP, infQ = _affine_case_batch(C, seed=21)
-    X3, Y3, inf3 = _batch_affine_add(C, 1, P, Q, infP, infQ)
-    _assert_matches_ref_add(C, 1, P, Q, infP, infQ, X3, Y3, inf3)
-
-
-def test_core_batch_affine_add_g2():
-    C = curve_g2()
-    P, Q, infP, infQ = _affine_case_batch(C, seed=31)
-    X3, Y3, inf3 = _batch_affine_add(C, 2, P, Q, infP, infQ)
-    _assert_matches_ref_add(C, 2, P, Q, infP, infQ, X3, Y3, inf3)
 
 
 def _check_aadd(C, ncoord, seed):

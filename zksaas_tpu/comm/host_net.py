@@ -79,6 +79,7 @@ class HostStarNet:
         return cls(n, threshold, client, party_id)
 
     def round(self, x, king_fn, channel: int = 0):
+        assert 0 <= channel < 16, "logical channels 0..15 (wire id aliases otherwise)"
         self.rounds += 1
         channel = channel + 16 * self.rounds  # unique wire channel per round
         if self.my_id == 0:

@@ -49,10 +49,14 @@ class ReceivedBytes:
 
 
 class _Demux:
-    """Per-connection receiver thread feeding (channel -> queue)."""
+    """Per-connection receiver thread feeding (channel -> queue), or —
+    when `sink` is given — a single shared queue of (channel, party,
+    body) tuples (the king funnels all n-1 links into one inbox so a
+    gather blocks on ONE queue instead of polling every link)."""
 
-    def __init__(self, sock: socket.socket):
+    def __init__(self, sock: socket.socket, sink: Queue | None = None):
         self.sock = sock
+        self.sink = sink
         self.queues: dict[int, Queue] = {}
         self.lock = threading.Lock()
         self.dead = False
@@ -75,7 +79,10 @@ class _Demux:
                 body = self._read_exact(length)
                 if body is None:
                     break
-                self._q(channel).put((party, body))
+                if self.sink is not None:
+                    self.sink.put((channel, party, body, self))
+                else:
+                    self._q(channel).put((party, body))
         except OSError:
             pass
         self.dead = True
@@ -163,25 +170,55 @@ class StarKing:
         self._srv = srv
         self._tls = tls_ctx
         self.links: dict[int, _Demux] = {}
+        # single inbox shared by every link's demux thread: a gather
+        # blocks on one queue (no per-link polling); frames for other
+        # channels are stashed until their round asks for them
+        self._inbox: Queue = Queue()
+        self._stash: dict[int, list] = {}
 
     def accept_all(self, accept_timeout: float = 120.0):
         """Bring-up is bounded separately from the per-round timeout —
         peers may take long to start (process spawn, TLS handshakes)."""
         self._srv.settimeout(accept_timeout)
-        for _ in range(self.n - 1):
+        n_links = self.n - 1
+        for _ in range(n_links):
             conn, _ = self._srv.accept()
             if self._tls is not None:
                 conn = self._tls.wrap_socket(conn, server_side=True)
-            # id exchange: client sends its party id first
-            demux = _Demux(conn)
-            got = demux.recv(0, accept_timeout)
-            assert got is not None, "client id exchange timed out"
-            pid, payload = got
-            assert payload == _SYN
+            _Demux(conn, sink=self._inbox)  # thread registers via SYN below
+        # id exchange: each client sends its party id on channel 0; the
+        # inbox frame carries the producing demux, giving pid -> socket
+        deadline = time.time() + accept_timeout
+        while len(self.links) < n_links:
+            channel, pid, payload, demux = self._inbox.get(
+                timeout=max(0.01, deadline - time.time())
+            )
+            assert channel == 0 and payload == _SYN, "bad id-exchange frame"
+            assert pid not in self.links, f"duplicate party id {pid}"
             self.links[pid] = demux
         # SynAck barrier: release everyone only once all are connected
         for pid, demux in self.links.items():
             demux.send(0, 0, _SYNACK)
+
+    def _next_frame(self, channel: int, timeout: float):
+        """Pop the next frame for `channel`, consulting the stash first;
+        frames for other channels are stashed.  Returns (party, body)
+        or None on timeout."""
+        buf = self._stash.get(channel)
+        if buf:
+            return buf.pop(0)
+        deadline = time.time() + timeout
+        while True:
+            remaining = deadline - time.time()
+            if remaining <= 0:
+                return None
+            try:
+                ch, party, body, _ = self._inbox.get(timeout=remaining)
+            except Empty:
+                return None
+            if ch == channel:
+                return party, body
+            self._stash.setdefault(ch, []).append((party, body))
 
     def gather(self, own: bytes, channel: int, threshold: int) -> ReceivedBytes:
         """client_send_or_king_receive (lib.rs:89-136): collect one
@@ -190,14 +227,15 @@ class StarKing:
         shares: list = [None] * self.n
         shares[0] = own
         deadline = time.time() + self.timeout
-        expected = set(self.links)
+        expected = self.n - 1
         while expected and time.time() < deadline:
-            for pid in list(expected):
-                got = self.links[pid].recv(channel, timeout=0.01)
-                if got is not None:
-                    sender, payload = got
-                    shares[sender] = payload
-                    expected.discard(pid)
+            got = self._next_frame(channel, deadline - time.time())
+            if got is None:
+                break
+            sender, payload = got
+            if shares[sender] is None:
+                expected -= 1
+            shares[sender] = payload
         parties = tuple(i for i in range(self.n) if shares[i] is not None)
         if len(parties) < threshold:
             raise TimeoutError(

@@ -308,45 +308,6 @@ def _fmul_call(spec: FieldSpec, ncoord: int):
     return _make_call(kernel, R.nplanes, n_in=2, n_out=1)
 
 
-def _aff_cases(R, X1, Y1, X2, Y2, inf1, inf2):
-    """Shared special-case predicates of the affine add P1 + P2."""
-    dx = R.sub(X2, X1)
-    dy = R.sub(Y2, Y1)
-    h0 = R.is_zero(dx)
-    sy = R.is_zero(dy)
-    some_inf = xp.logical_or(inf1, inf2)
-    is_dbl = xp.logical_and(xp.logical_and(h0, sy), xp.logical_not(some_inf))
-    is_opp = xp.logical_and(h0, xp.logical_not(sy))  # x1 == x2, y2 == -y1
-    return dx, dy, some_inf, is_dbl, is_opp
-
-
-def _aff_denom_core(R, X1, Y1, X2, Y2, inf1, inf2):
-    """Slope denominator + result-infinity flag of the affine add."""
-    dx, _dy, some_inf, is_dbl, is_opp = _aff_cases(R, X1, Y1, X2, Y2, inf1, inf2)
-    degenerate = xp.logical_or(some_inf, is_opp)
-    d = R.select(is_dbl, R.dbl(Y1), dx)
-    d = R.select(degenerate, R.one(X1), d)
-    inf3 = xp.logical_or(
-        xp.logical_and(inf1, inf2),
-        xp.logical_and(xp.logical_not(some_inf), is_opp),
-    )
-    return d, inf3
-
-
-def _aff_apply_core(R, X1, Y1, X2, Y2, IVD, inf1, inf2):
-    """Affine add given the inverted slope denominator (a = 0 curves)."""
-    _dx, dy, _some_inf, is_dbl, _is_opp = _aff_cases(R, X1, Y1, X2, Y2, inf1, inf2)
-    n = R.select(is_dbl, R.muli(R.sqr(X1), 3), dy)
-    lam = R.mm(n, IVD)
-    X3 = R.sub(R.sub(R.sqr(lam), X1), X2)
-    Y3 = R.sub(R.mm(lam, R.sub(X1, X3)), Y1)
-    X3 = R.select(inf1, X2, X3)
-    Y3 = R.select(inf1, Y2, Y3)
-    X3 = R.select(inf2, X1, X3)
-    Y3 = R.select(inf2, Y1, Y3)
-    return X3, Y3
-
-
 def _madd_core(R, X1, Y1, Z1, x2, y2):
     """Complete mixed add: Jacobian (X1,Y1,Z1) + affine (x2,y2) with
     x2,y2 never infinity (callers mask that case out)."""
@@ -425,46 +386,6 @@ def _aadd_call(spec: FieldSpec, ncoord: int):
         R.store(oz, Z3)
 
     return _make_call(kernel, R.nplanes, n_in=4, n_out=3, n_cond=2)
-
-
-@functools.cache
-def _aff_denom_call(spec: FieldSpec, ncoord: int):
-    """Denominator of the affine-add slope: x2 - x1 (general), 2*y1
-    (doubling), or 1 (any degenerate case — masked by the caller).
-    Also emits the result-infinity flag.  Subgroup points have y != 0
-    (no 2-torsion in prime-order groups), so d is always invertible."""
-    R = _kring(spec, ncoord)
-
-    def kernel(x1, y1, x2, y2, i1, i2, od, oinf):
-        X1, Y1 = R.load(x1), R.load(y1)
-        X2, Y2 = R.load(x2), R.load(y2)
-        inf1 = i1[0] > 0
-        inf2 = i2[0] > 0
-        d, inf3 = _aff_denom_core(R, X1, Y1, X2, Y2, inf1, inf2)
-        R.store(od, d)
-        oinf[0] = inf3.astype(jnp.uint32)
-
-    return _make_call(kernel, R.nplanes, n_in=4, n_out=1, n_cond=2, n_cond_out=1)
-
-
-@functools.cache
-def _aff_apply_call(spec: FieldSpec, ncoord: int):
-    """Affine add given the precomputed slope-denominator inverse:
-    lambda = n * d^-1, x3 = lambda^2 - x1 - x2, y3 = lambda(x1-x3) - y1
-    (2M + 2S per point vs ~14M + 9S for the complete Jacobian add)."""
-    R = _kring(spec, ncoord)
-
-    def kernel(x1, y1, x2, y2, vd, i1, i2, ox, oy):
-        X1, Y1 = R.load(x1), R.load(y1)
-        X2, Y2 = R.load(x2), R.load(y2)
-        IVD = R.load(vd)
-        inf1 = i1[0] > 0
-        inf2 = i2[0] > 0
-        X3, Y3 = _aff_apply_core(R, X1, Y1, X2, Y2, IVD, inf1, inf2)
-        R.store(ox, X3)
-        R.store(oy, Y3)
-
-    return _make_call(kernel, R.nplanes, n_in=5, n_out=2, n_cond=2)
 
 
 @functools.cache
@@ -667,25 +588,6 @@ def pfmul(spec: FieldSpec, ncoord: int, a, b):
     """Coordinate-ring product on (npl, B) planes operands."""
     npl = _nplanes(spec, ncoord)
     return _wrap_planes(_fmul_call(spec, ncoord), npl, (a, b))[0]
-
-
-def paff_denom(spec: FieldSpec, ncoord: int, P, Q, infP, infQ):
-    """P, Q: affine (x, y) planes tuples; infP/infQ: (B,) flags.
-    Returns (d, inf3): the slope denominator to batch-invert and the
-    result-infinity flag."""
-    npl = _nplanes(spec, ncoord)
-    return _wrap_planes(
-        _aff_denom_call(spec, ncoord), npl, (*P, *Q), (infP, infQ), n_cond_out=1
-    )
-
-
-def paff_apply(spec: FieldSpec, ncoord: int, P, Q, inv_d, infP, infQ):
-    """Affine P + Q given inv_d = (slope denominator)^-1; returns
-    (x3, y3) planes (garbage where inf3 — callers must carry the flag)."""
-    npl = _nplanes(spec, ncoord)
-    return _wrap_planes(
-        _aff_apply_call(spec, ncoord), npl, (*P, *Q, inv_d), (infP, infQ)
-    )
 
 
 def paddaa(spec: FieldSpec, ncoord: int, P, Q, infP, infQ):

@@ -8,48 +8,51 @@ gathers, and tree reductions:
   window sum  S_j = sum_k k * B_jk  =  sum_{k=1}^{2^c-1} T_jk,
   where T_jk = sum of P_i with digit_ij >= k   (suffix sums).
 
-All windows are processed as ONE flat virtual array of up to 2^21
-slots (slot (w, i) holds P[i mod m] keyed by (w, digit_iw)): a single
-two-operand sort groups every (window, bucket) segment, ONE gather
-permutes the points, ONE reduction tree serves every suffix query.
-Batching all windows together matters because each kernel launch has
-a fixed cost comparable to its compute at small widths — per-window
-trees spent most of their time in launch overhead.
+Measured cost model on the target chip (v5e): every fused point-kernel
+launch carries ~0.45 ms fixed overhead and ~80 ns/add of linear work,
+so the shape that wins batches ALL windows into ONE flat virtual array
+(slot (w, i) holds P[i], keyed by (w, digit_iw)): one single-key sort
+groups every (window, bucket) segment, one gather permutes the points,
+one reduction tree serves every suffix query — ~45 kernel launches per
+MSM instead of ~1200 for a per-window loop (which measured 0.97 s/iter
+at m=2^14 against this design's ~0.1 s).
 
-The reduction tree is hybrid batch-affine/Jacobian: input points are
-normalized to affine once (batched inversion), and tree levels with
->= AFF_MIN adds use the batch-affine add — 2M+2S per add plus ~3
-ring muls of simultaneous-inversion overhead (product tree up, one
-in-kernel Fermat at the root, walk down) versus ~14M+9S for the
-complete Jacobian add.  Deep (narrow) levels switch to Jacobian adds
-where one inversion round-trip would cost more than it saves.  Suffix
-queries [b, seg_end) are answered with O(log m) tree-node adds each,
-batched across all 2^c-1 buckets of all windows (mixed Jacobian +
-affine-node adds).  The final combine is a Horner walk over windows
-(one fused c-fold-double kernel + 1 add each).
+Key layout packs the permutation into the sort key —
+(window | digit | slot) — so a SINGLE-operand bitonic sort (the Pallas
+kernel in fields/sortperm.py; XLA's variadic sort measured orders of
+magnitude slower) yields both the grouping and the gather order; when
+the packed key would exceed 32 bits, windows are processed in groups
+sized to fit (fori_loop over groups).  Bucket boundaries come from one
+searchsorted over the sorted keys.
+
+Input points are normalized to affine ONCE (a single batched
+simultaneous inversion amortized over all ~(256/c) windows): the
+widest tree level — half of all adds — runs the fused
+affine+affine->Jacobian kernel (mmadd-2007-bl, 4M+3S vs ~14M+9S for
+the complete Jacobian add), level-0 suffix-query nodes use the mixed
+add, and gathers move 2 coordinates instead of 3.
 
 Point data stays in limb-major "planes" layout (npl, B) end to end —
 one transpose in, one out — so every kernel call is pure compute (see
-curves/fused.py).  Point-op count: ~(256/c) * m adds total, ~7 ring
-muls each on the wide levels.  (The reference's hot loop is arkworks'
-Pippenger, dmsm/mod.rs:73; this is its TPU-native shape.)
+curves/fused.py).  (The reference's hot loop is arkworks' Pippenger,
+dmsm/mod.rs:73; this is its TPU-native shape.)
 """
 
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..fields.sortperm import sort_u32
 from ..fields.spec import LIMB_BITS
 from .fused import (
     padd,
     padd_if,
     paddaa,
-    paff_apply,
-    paff_denom,
     pdouble,
     pfinv,
     pfmul,
@@ -60,56 +63,41 @@ from .fused import (
 )
 from .jcurve import JCurve
 
-import os
-
 WINDOW = int(os.environ.get("ZKSAAS_MSM_WINDOW", 8))
-# max slots in the flat all-windows virtual array (memory guard: the
-# affine tree keeps ~2x this many (x, y) coordinate pairs live)
-MAX_VIRT = 1 << int(os.environ.get("ZKSAAS_MSM_MAXVIRT", 21))
-# use batch-affine adds while a tree level has at least this many adds
-# (0 = disabled).  Disabled by default: measured on TPU v5e the
-# batch-affine level (denom kernel + multi-level inversion product tree
-# + apply kernel) is ~65x SLOWER than the single fused-Jacobian padd
-# kernel — the saved multiplies are dwarfed by the extra HBM round
-# trips between kernels (4k vs 260k pts/s at m=2^14).  The path is kept
-# for architectures where compute, not bandwidth, is the bottleneck.
-AFF_MIN = int(os.environ.get("ZKSAAS_MSM_AFF_MIN", 0))
-if AFF_MIN == 0:
-    AFF_MIN = 1 << 62
+# max flat virtual-array slots per group: the sort kernel holds the
+# packed keys plus unrolled-stage temporaries in VMEM (~100 bytes/slot
+# of scoped stack at the deepest stages; 2^19 measured ~50 MB)
+MAX_VIRT = 1 << int(os.environ.get("ZKSAAS_MSM_MAXVIRT", 19))
+# cap doublings fused into one kernel (Mosaic compile size)
+_DBL_CHUNK = 32
 
 
-def _psum(spec, ncoord, Pp):
-    """Tree-reduce point sum along the planes batch axis -> (npl, 1)."""
-    n = Pp[0].shape[1]
-    while n > 1:
-        half = n // 2
-        even = tuple(c[:, : 2 * half : 2] for c in Pp)
-        odd = tuple(c[:, 1 : 2 * half : 2] for c in Pp)
-        s = padd(spec, ncoord, even, odd)
-        if n % 2:
-            s = tuple(
-                jnp.concatenate([a, c[:, -1:]], axis=1) for a, c in zip(s, Pp)
-            )
-        Pp = s
-        n = Pp[0].shape[1]
-    return Pp
+def _pdouble_k(spec, ncoord, P, k: int):
+    while k > 0:
+        step = min(k, _DBL_CHUNK)
+        P = pdouble(spec, ncoord, P, k=step)
+        k -= step
+    return P
 
 
 def _psum_seg(spec, ncoord, Pp, groups: int):
     """Tree-reduce (npl, groups * q) planes points within each length-q
-    segment -> (npl, groups)."""
+    segment -> (npl, groups).  Summation order is irrelevant, so each
+    level adds contiguous halves of every segment."""
     npl = Pp[0].shape[0]
     n = Pp[0].shape[1] // groups
     while n > 1:
         half = n // 2
         v = tuple(c.reshape(npl, groups, n) for c in Pp)
-        even = tuple(c[:, :, : 2 * half : 2].reshape(npl, -1) for c in v)
-        odd = tuple(c[:, :, 1 : 2 * half : 2].reshape(npl, -1) for c in v)
-        s = padd(spec, ncoord, even, odd)
+        lo = tuple(c[:, :, :half].reshape(npl, -1) for c in v)
+        hi = tuple(c[:, :, half : 2 * half].reshape(npl, -1) for c in v)
+        s = padd(spec, ncoord, lo, hi)
         if n % 2:
             tail = tuple(c[:, :, -1:] for c in v)
             s = tuple(
-                jnp.concatenate([a.reshape(npl, groups, half), t], axis=2).reshape(npl, -1)
+                jnp.concatenate([a.reshape(npl, groups, half), t], axis=2).reshape(
+                    npl, -1
+                )
                 for a, t in zip(s, tail)
             )
         Pp = s
@@ -138,9 +126,7 @@ def _pbatch_inv(spec, ncoord: int, d):
 
 def _to_affine_planes(spec, ncoord: int, Pp):
     """Jacobian planes (X, Y, Z) -> affine planes ((x, y), inf flag):
-    one batched inversion + 4 products for the whole array.  Affine
-    inputs make every tree add 2M+2S instead of the ~23-mul complete
-    Jacobian add (and cut gather bandwidth by a third)."""
+    one batched inversion + 4 products for the whole array."""
     X, Y, Z = Pp
     B = Z.shape[1]
     inf = jnp.all(Z == 0, axis=0)
@@ -170,101 +156,103 @@ def msm_pippenger(curve: JCurve, P, scalars_mont):
     per_limb = LIMB_BITS // c
     L = m.bit_length() - 1  # log2(m)
 
-    # windows per flat batch (all of them when the virtual array fits)
+    # windows per group: the packed sort key (w | digit | slot) must
+    # fit 32 bits (slot is the in-window point index, L bits) and the
+    # key array must fit the sort kernel's VMEM budget
     WG = 1
-    while WG < n_windows and WG * 2 * m <= MAX_VIRT:
-        WG *= 2
+    while (
+        WG < n_windows
+        and WG.bit_length() + c + L <= 32
+        and 2 * WG * m <= MAX_VIRT
+    ):
+        WG *= 2  # (2*WG*m: the guard checks the size after doubling)
     n_groups = -(-n_windows // WG)
+    V = WG * m
 
     Pp, _ = points_to_planes(ncoord, P)  # coords (npl, m)
     npl = Pp[0].shape[0]
-    # normalize once to affine (batched inversion); one stacked
-    # (2*npl, m) array so each permutation is a single take
-    # (point for virtual slot (w, i) is P[i] — gather by index mod m)
+    # normalize once to affine (amortized over all windows); one
+    # stacked (2*npl, m) array so each permutation is a single take
     xa, ya, infP = _to_affine_planes(spec, ncoord, Pp)
     Pstack = jnp.concatenate([xa, ya], axis=0)
 
     def unstack3(s):
         return tuple(s[i * npl : (i + 1) * npl] for i in range(3))
 
+    def vary(Pt):
+        # make constant carry/accumulator inits inherit Pstack's
+        # varying manual axes (shard_map loop-carry typing; a no-op
+        # numerically)
+        return tuple(co ^ (Pstack[:npl, :1] & 0) for co in Pt)
+
     def group_sums(g):
-        """Window sums S_j for the WG windows [g*WG, g*WG + WG), as a
-        (npl, WG)-planes Jacobian tuple (padded windows produce an
-        unused duplicate of the last window)."""
-        # digits for each window in the group: (WG, m)
+        """Window sums S_j for windows [g*WG, g*WG + WG) as an
+        (npl, WG)-planes Jacobian tuple (padded window slots compute a
+        duplicate of the last window, discarded by the caller)."""
         j = g * WG + jnp.arange(WG, dtype=jnp.uint32)
         j = jnp.minimum(j, n_windows - 1)
         limb = jnp.take(raw, j // per_limb, axis=-1).T  # (WG, m)
         shift = (np.uint32(c) * (j % per_limb))[:, None]
         digits = (limb >> shift) & ((1 << c) - 1)
-        # two-operand sort by [window | digit]; payload = virtual index
-        wtag = jnp.repeat(jnp.arange(WG, dtype=jnp.uint32), m)
-        keys = (wtag << np.uint32(c)) | digits.reshape(-1)
-        gidx = jnp.arange(WG * m, dtype=jnp.uint32)
-        sorted_keys, sorted_idx = jax.lax.sort((keys, gidx), num_keys=1)
-        order = sorted_idx & np.uint32(m - 1)  # virtual idx mod m
-        Sx = jnp.take(Pstack, order, axis=1)  # (2npl, WG*m) affine
+        # single-key sort: [w | digit | slot] (<= 32 bits)
+        wtag = jax.lax.broadcasted_iota(jnp.uint32, (WG, m), 0)
+        keys = (
+            (wtag << np.uint32(c + L))
+            | (digits << np.uint32(L))
+            | jax.lax.broadcasted_iota(jnp.uint32, (WG, m), 1)
+        ).reshape(-1)
+        sorted_keys = sort_u32(keys)
+        order = sorted_keys & np.uint32(m - 1)  # slot = P index
+        Sx = jnp.take(Pstack, order, axis=1)  # (2npl, V) affine
         Sinf = jnp.take(infP, order)
 
-        # hybrid reduction tree over the virtual array, levels 0..L
-        # (nodes of size <= m never span a window segment)
+        # reduction tree over the flat array: level 0 = affine leaves,
+        # level 1 = fused affine+affine->Jacobian, deeper = Jacobian.
+        # Nodes of size <= m never span a window boundary.
         levels = [("aff", Sx, Sinf)]
-        cur, curinf = Sx, Sinf
-        kind = "aff"
-        for _l in range(L):
-            w = cur.shape[1]
-            if kind == "aff" and w // 2 >= AFF_MIN:
-                Pe = (cur[:npl, 0::2], cur[npl:, 0::2])
-                Po = (cur[:npl, 1::2], cur[npl:, 1::2])
-                ie, io = curinf[0::2], curinf[1::2]
-                d, inf3 = paff_denom(spec, ncoord, Pe, Po, ie, io)
-                ivd = _pbatch_inv(spec, ncoord, d)
-                x3, y3 = paff_apply(spec, ncoord, Pe, Po, ivd, ie, io)
-                cur = jnp.concatenate([x3, y3], axis=0)
-                curinf = inf3
-                levels.append(("aff", cur, curinf))
-            elif kind == "aff":
-                # widest Jacobian level: both inputs still affine —
-                # one fused affine+affine->Jacobian kernel (4M+3S per
-                # add, no _aff_to_jac materialization)
-                nxt = paddaa(
-                    spec,
-                    ncoord,
-                    (cur[:npl, 0::2], cur[npl:, 0::2]),
-                    (cur[:npl, 1::2], cur[npl:, 1::2]),
-                    curinf[0::2],
-                    curinf[1::2],
-                )
-                cur = jnp.concatenate(nxt, axis=0)
-                curinf = None
-                kind = "jac"
-                levels.append(("jac", cur, None))
-            else:
-                nxt = padd(spec, ncoord, unstack3(cur[:, 0::2]), unstack3(cur[:, 1::2]))
-                cur = jnp.concatenate(nxt, axis=0)
-                levels.append(("jac", cur, None))
+        cur = jnp.concatenate(
+            paddaa(
+                spec,
+                ncoord,
+                (Sx[:npl, 0::2], Sx[npl:, 0::2]),
+                (Sx[:npl, 1::2], Sx[npl:, 1::2]),
+                Sinf[0::2],
+                Sinf[1::2],
+            ),
+            axis=0,
+        )
+        levels.append(("jac", cur, None))
+        for _l in range(L - 1):
+            cur = jnp.concatenate(
+                padd(spec, ncoord, unstack3(cur[:, 0::2]), unstack3(cur[:, 1::2])),
+                axis=0,
+            )
+            levels.append(("jac", cur, None))
 
-        # suffix-query targets: for window w, bucket k: first sorted
-        # position with key >= [w | k]
+        # suffix-query start positions: for window w, bucket k, the
+        # first sorted position with key >= [w | k | 0]
         ws = jnp.repeat(jnp.arange(WG, dtype=jnp.uint32), (1 << c) - 1)
         ks = jnp.tile(jnp.arange(1, 1 << c, dtype=jnp.uint32), WG)
-        targets = (ws << np.uint32(c)) | ks
+        targets = (ws << np.uint32(c + L)) | (ks << np.uint32(L))
         bs = jnp.searchsorted(sorted_keys, targets, side="left").astype(jnp.int32)
         seg_end = (ws.astype(jnp.int32) + 1) * m
 
         # batched segment-tree suffix sums over [b, seg_end): include
         # the level-l node iff bit l of r = seg_end - b is set; node
         # index (b + (r mod 2^l)) >> l (segment alignment guarantees
-        # in-window nodes).
+        # in-window nodes).  Tree stops at node size m (level L).
         r = seg_end - bs
-        acc = pinfinity(spec, ncoord, bs.shape[0])
+        acc = vary(pinfinity(spec, ncoord, bs.shape[0]))
         for l in range(L + 1):
             has = ((r >> l) & 1) == 1
             cur_l = bs + (r & ((1 << l) - 1))
-            idx = jnp.clip(cur_l >> l, 0, (WG * m >> l) - 1)
-            lkind, lv, lvinf = levels[l]
+            idx = jnp.clip(cur_l >> l, 0, (V >> l) - 1)
+            lkind, lv, lvinf = levels[min(l, len(levels) - 1)]
             if lkind == "aff":
-                node = (jnp.take(lv[:npl], idx, axis=1), jnp.take(lv[npl:], idx, axis=1))
+                node = (
+                    jnp.take(lv[:npl], idx, axis=1),
+                    jnp.take(lv[npl:], idx, axis=1),
+                )
                 ninf = jnp.take(lvinf, idx)
                 acc = pmadd_if(spec, ncoord, has & (ninf == 0), acc, node)
             else:
@@ -273,14 +261,10 @@ def msm_pippenger(curve: JCurve, P, scalars_mont):
 
         return _psum_seg(spec, ncoord, acc, WG)  # (npl, WG)
 
-    def vary(Pt):
-        # make constant carry inits inherit Pstack's varying manual
-        # axes (shard_map loop-carry typing; numerically a no-op)
-        return tuple(co ^ (Pstack[:npl, :1] & 0) for co in Pt)
-
     if n_groups == 1:
         S = group_sums(0)
     else:
+
         def collect(g, bufs):
             Sg = group_sums(g)
             return tuple(
@@ -291,15 +275,30 @@ def msm_pippenger(curve: JCurve, P, scalars_mont):
         S = jax.lax.fori_loop(
             0, n_groups, collect, vary(pinfinity(spec, ncoord, n_groups * WG))
         )
+    S = tuple(co[:, :n_windows] for co in S)
 
-    # Horner over windows, MSB first
-    def horner(i, total):
-        j = n_windows - 1 - i
-        total = pdouble(spec, ncoord, total, k=c)
-        Sj = tuple(jax.lax.dynamic_slice_in_dim(co, j, 1, axis=1) for co in S)
-        return padd(spec, ncoord, total, Sj)
-
-    total = jax.lax.fori_loop(0, n_windows, horner, vary(pinfinity(spec, ncoord, 1)))
+    # combine windows: log-fold pairs — T_j = S_{2j} + 2^(c*2^level)
+    # S_{2j+1} — so the whole Horner walk costs ~2 log(n_windows)
+    # kernel launches instead of 2 per window
+    k = c
+    cur = S
+    n = n_windows
+    while n > 1:
+        half = n // 2
+        lo = tuple(co[:, 0 : 2 * half : 2] for co in cur)
+        hi = tuple(co[:, 1 : 2 * half : 2] for co in cur)
+        hi2 = _pdouble_k(spec, ncoord, hi, k)
+        nxt = padd(spec, ncoord, lo, hi2)
+        if n % 2:
+            # odd tail pairs with nothing this level; fold it into the
+            # last slot shifted by the level's doubling
+            tail = tuple(co[:, -1:] for co in cur)
+            nxt = tuple(jnp.concatenate([a, t], axis=1) for a, t in zip(nxt, tail))
+            # tail now represents windows k..: its weight doubles next level
+        cur = nxt
+        n = cur[0].shape[1]
+        k *= 2
+    total = cur
     out = points_from_planes(ncoord, total, (1,), spec.nlimbs)
     return tuple(co[0] for co in out)
 
@@ -317,8 +316,7 @@ def msm_best(curve: JCurve, P, scalars_mont):
         ncoord = len(curve.R.coord_shape)
         inf = curve.infinity(bshape + (mp - m,))
         P = tuple(
-            jnp.concatenate([co, ico], axis=len(bshape))
-            for co, ico in zip(P, inf)
+            jnp.concatenate([co, ico], axis=len(bshape)) for co, ico in zip(P, inf)
         )
         pad = [(0, 0)] * len(bshape) + [(0, mp - m), (0, 0)]
         scalars_mont = jnp.pad(scalars_mont, pad)

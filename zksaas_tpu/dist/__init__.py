@@ -1,6 +1,6 @@
 from .dfft import FftMask, d_fft, d_ifft, fft1_local, fft2_king
 from .deg_red import DegRedMask, deg_red
-from .dmsm import MsmMask, d_msm
+from .dmsm import MsmMask, d_msm, d_msm_local, d_msm_reduce
 from .dpp import d_pp
 
 __all__ = [
@@ -13,5 +13,7 @@ __all__ = [
     "deg_red",
     "MsmMask",
     "d_msm",
+    "d_msm_local",
+    "d_msm_reduce",
     "d_pp",
 ]

@@ -18,10 +18,9 @@ from ..curves.jcurve import JCurve
 from ..pss.pss import PackedSharingParams
 
 
-def d_msm(pp: PackedSharingParams, curve: JCurve, bases_share, scalars_share, mask, net, channel=0):
-    """bases_share: points with trailing chunk axis (..., m/l);
-    scalars_share: (..., m/l, K).  Returns one point per party (packed
-    sharing of the MSM value, repeated l times)."""
+def d_msm_local(curve: JCurve, bases_share, scalars_share, mask):
+    """Per-party local stage of d_msm: the MSM hot loop (G::msm,
+    dmsm/mod.rs:73) plus the input mask — no communication."""
     with jax.named_scope("d_msm.local"):
         nchunks = scalars_share.shape[-2]
         if curve.fr._pallas_enabled() and nchunks >= 256:
@@ -35,7 +34,13 @@ def d_msm(pp: PackedSharingParams, curve: JCurve, bases_share, scalars_share, ma
             else:
                 prods = curve.scalar_mul(bases_share, scalars_share)
             c_share = curve.sum(prods, axis=-1)
-    c_share = curve.add(c_share, mask.in_mask)
+    return curve.add(c_share, mask.in_mask)
+
+
+def d_msm_reduce(pp: PackedSharingParams, curve: JCurve, c_share, mask, net, channel=0):
+    """Communication stage of d_msm: gather-to-king, unpack + sum,
+    re-broadcast as a repeated packed sharing, unmask
+    (dmsm/mod.rs:75-101)."""
 
     def king_fn(shares, parties):
         # shares: points with leading axis (n_present,)
@@ -47,6 +52,14 @@ def d_msm(pp: PackedSharingParams, curve: JCurve, bases_share, scalars_share, ma
 
     result = net.round(c_share, king_fn, channel)
     return curve.add(result, mask.out_mask)
+
+
+def d_msm(pp: PackedSharingParams, curve: JCurve, bases_share, scalars_share, mask, net, channel=0):
+    """bases_share: points with trailing chunk axis (..., m/l);
+    scalars_share: (..., m/l, K).  Returns one point per party (packed
+    sharing of the MSM value, repeated l times)."""
+    c_share = d_msm_local(curve, bases_share, scalars_share, mask)
+    return d_msm_reduce(pp, curve, c_share, mask, net, channel)
 
 
 @dataclass
