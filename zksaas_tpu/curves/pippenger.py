@@ -68,8 +68,24 @@ WINDOW = int(os.environ.get("ZKSAAS_MSM_WINDOW", 8))
 # packed keys plus unrolled-stage temporaries in VMEM (~100 bytes/slot
 # of scoped stack at the deepest stages; 2^19 measured ~50 MB)
 MAX_VIRT = 1 << int(os.environ.get("ZKSAAS_MSM_MAXVIRT", 19))
-# cap doublings fused into one kernel (Mosaic compile size)
-_DBL_CHUNK = 32
+# floor for the deep-tree-levels fixed scan width (one pallas block =
+# 1024 lanes; smaller only makes sense for exercising the scan path in
+# tiny-m tests)
+_SCAN_W_MIN = int(os.environ.get("ZKSAAS_MSM_SCANW", 1024))
+# cap doublings fused into one kernel: each fused double is ~7 field
+# muls of kernel body, and every distinct k is its own Mosaic compile
+# (~5-15 s); k in {8, 16} covers the Horner folds with two small bodies
+_DBL_CHUNK = 16
+
+
+def _deinter(a):
+    """Split even/odd lanes of (..., 2k) via reshape — NEVER a stride-2
+    lane slice: XLA:TPU lowers `a[..., 0::2]` on wide arrays into a
+    pathological relayout (measured 1.0 s for four such slices of a
+    (32, 2^18) uint32 array vs 5 ms for this reshape form; the 2.5 s/iter
+    BENCH_r02/r03 dMSM regression was exactly this on the paddaa level)."""
+    v = a.reshape(a.shape[:-1] + (a.shape[-1] // 2, 2))
+    return v[..., 0], v[..., 1]
 
 
 def _pdouble_k(spec, ncoord, P, k: int):
@@ -115,11 +131,13 @@ def _pbatch_inv(spec, ncoord: int, d):
     cur = d
     while cur.shape[1] > 1024:
         levels.append(cur)
-        cur = pfmul(spec, ncoord, cur[:, 0::2], cur[:, 1::2])
+        lo, hi = _deinter(cur)
+        cur = pfmul(spec, ncoord, lo, hi)
     cur = pfinv(spec, ncoord, cur)
     for lev in reversed(levels):
-        il = pfmul(spec, ncoord, cur, lev[:, 1::2])
-        ir = pfmul(spec, ncoord, cur, lev[:, 0::2])
+        lo, hi = _deinter(lev)
+        il = pfmul(spec, ncoord, cur, hi)
+        ir = pfmul(spec, ncoord, cur, lo)
         cur = jnp.stack([il, ir], axis=2).reshape(lev.shape[0], -1)
     return cur
 
@@ -209,25 +227,49 @@ def msm_pippenger(curve: JCurve, P, scalars_mont):
         # reduction tree over the flat array: level 0 = affine leaves,
         # level 1 = fused affine+affine->Jacobian, deeper = Jacobian.
         # Nodes of size <= m never span a window boundary.
+        #
+        # Every distinct pallas width is its own ~5-15 s Mosaic compile,
+        # so only the top levels are unrolled at their true width; once
+        # the width reaches scan_w the remaining levels run as ONE
+        # lax.scan body at fixed width scan_w/2 (a single kernel for
+        # all deep levels).  Scan step i computes level ku+1+i: only the
+        # first V/2^(ku+1+i) lanes are meaningful, the tail recycles
+        # stale lanes (valid field elements, never read back).
+        scan_w = max(_SCAN_W_MIN, V >> 5)
+        ku = L if V <= scan_w else min(L, (V // scan_w).bit_length() - 1)
         levels = [("aff", Sx, Sinf)]
+        Slo, Shi = _deinter(Sx)
+        ilo, ihi = _deinter(Sinf)
         cur = jnp.concatenate(
             paddaa(
                 spec,
                 ncoord,
-                (Sx[:npl, 0::2], Sx[npl:, 0::2]),
-                (Sx[:npl, 1::2], Sx[npl:, 1::2]),
-                Sinf[0::2],
-                Sinf[1::2],
+                (Slo[:npl], Slo[npl:]),
+                (Shi[:npl], Shi[npl:]),
+                ilo,
+                ihi,
             ),
             axis=0,
         )
         levels.append(("jac", cur, None))
-        for _l in range(L - 1):
+        for _l in range(ku - 1):
+            clo, chi = _deinter(cur)
             cur = jnp.concatenate(
-                padd(spec, ncoord, unstack3(cur[:, 0::2]), unstack3(cur[:, 1::2])),
+                padd(spec, ncoord, unstack3(clo), unstack3(chi)),
                 axis=0,
             )
             levels.append(("jac", cur, None))
+        ys = None
+        if L > ku:
+
+            def tree_step(carry, _):
+                lo, hi = _deinter(carry)
+                s = jnp.concatenate(
+                    padd(spec, ncoord, unstack3(lo), unstack3(hi)), axis=0
+                )
+                return jnp.concatenate([s, carry[:, : scan_w // 2]], axis=1), s
+
+            _, ys = jax.lax.scan(tree_step, cur, None, length=L - ku)
 
         # suffix-query start positions: for window w, bucket k, the
         # first sorted position with key >= [w | k | 0]
@@ -247,15 +289,15 @@ def msm_pippenger(curve: JCurve, P, scalars_mont):
             has = ((r >> l) & 1) == 1
             cur_l = bs + (r & ((1 << l) - 1))
             idx = jnp.clip(cur_l >> l, 0, (V >> l) - 1)
-            lkind, lv, lvinf = levels[min(l, len(levels) - 1)]
-            if lkind == "aff":
+            if l == 0:
                 node = (
-                    jnp.take(lv[:npl], idx, axis=1),
-                    jnp.take(lv[npl:], idx, axis=1),
+                    jnp.take(Sx[:npl], idx, axis=1),
+                    jnp.take(Sx[npl:], idx, axis=1),
                 )
-                ninf = jnp.take(lvinf, idx)
+                ninf = jnp.take(Sinf, idx)
                 acc = pmadd_if(spec, ncoord, has & (ninf == 0), acc, node)
             else:
+                lv = levels[l][1] if l <= ku else ys[l - ku - 1]
                 node = unstack3(jnp.take(lv, idx, axis=1))
                 acc = padd_if(spec, ncoord, has, acc, node)
 
