@@ -43,10 +43,16 @@ def _fe(x: int) -> bytes:
     return (x % BN254_FR.p).to_bytes(FS, "little")
 
 
+def _prime() -> bytes:
+    # The header stores the prime itself, NOT a field element — reducing it
+    # mod p would serialize 0 and load_r1cs would (correctly) reject it.
+    return BN254_FR.p.to_bytes(FS, "little")
+
+
 def write_r1cs(n_wires, n_pub_out, n_pub_in, n_prv_in, constraints) -> bytes:
     """Serialize the iden3 .r1cs binary format (the format circom emits
     and load_r1cs parses)."""
-    header = struct.pack("<I", FS) + _fe(BN254_FR.p)
+    header = struct.pack("<I", FS) + _prime()
     header += struct.pack(
         "<IIIIQI", n_wires, n_pub_out, n_pub_in, n_prv_in, n_wires, len(constraints)
     )
@@ -61,7 +67,7 @@ def write_r1cs(n_wires, n_pub_out, n_pub_in, n_prv_in, constraints) -> bytes:
 
 
 def write_wtns(values) -> bytes:
-    header = struct.pack("<I", FS) + _fe(BN254_FR.p) + struct.pack("<I", len(values))
+    header = struct.pack("<I", FS) + _prime() + struct.pack("<I", len(values))
     body = b"".join(_fe(v) for v in values)
     return _sections(b"wtns", [(1, header), (2, body)])
 
