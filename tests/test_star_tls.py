@@ -18,7 +18,11 @@ from zksaas_tpu.comm.star import (
 )
 
 
-def _run_star(n, tls=False, drop_party=None, timeout=5.0):
+def _run_star(n, tls=False, drop_party=None, timeout=60.0):
+    # default round timeout is generous: under xdist the box is
+    # saturated with XLA compiles and a client thread can be starved
+    # for tens of seconds before its send lands; only the dropout test
+    # (which *wants* a timeout) passes a small value
     tls_server = tls_clients = None
     tmp = None
     if tls:
@@ -74,7 +78,7 @@ def _run_star(n, tls=False, drop_party=None, timeout=5.0):
     )
     king.scatter([None] + [str(total).encode()] * (n - 1), channel=3)
     for t in threads:
-        t.join(timeout=20)
+        t.join(timeout=120)
     king.close()
     if tmp:
         tmp.cleanup()

@@ -190,9 +190,14 @@ class StarKing:
         # inbox frame carries the producing demux, giving pid -> socket
         deadline = time.time() + accept_timeout
         while len(self.links) < n_links:
-            channel, pid, payload, demux = self._inbox.get(
-                timeout=max(0.01, deadline - time.time())
-            )
+            try:
+                channel, pid, payload, demux = self._inbox.get(
+                    timeout=max(0.01, deadline - time.time())
+                )
+            except Empty:
+                raise TimeoutError(
+                    f"id exchange: {len(self.links)}/{n_links} SYNs within {accept_timeout}s"
+                ) from None
             assert channel == 0 and payload == _SYN, "bad id-exchange frame"
             assert pid not in self.links, f"duplicate party id {pid}"
             self.links[pid] = demux
@@ -263,7 +268,15 @@ class StarClient:
     """Parties 1..n-1: one connection to the king (new_peer_tls,
     prod.rs:159-184)."""
 
-    def __init__(self, party_id: int, king_addr, timeout: float = 30.0, tls_ctx=None, retries: int = 50):
+    def __init__(
+        self,
+        party_id: int,
+        king_addr,
+        timeout: float = 30.0,
+        tls_ctx=None,
+        retries: int = 50,
+        synack_timeout: float = 300.0,
+    ):
         self.party_id = party_id
         self.timeout = timeout
         last = None
@@ -280,8 +293,13 @@ class StarClient:
             sock = tls_ctx.wrap_socket(sock)
         self.link = _Demux(sock)
         self.link.send(0, party_id, _SYN)
-        got = self.link.recv(0, timeout)
-        assert got is not None and got[1] == _SYNACK, "SynAck barrier failed"
+        # Bring-up is bounded separately from the per-round timeout: the
+        # SynAck only arrives after ALL n-1 peers connect, which on a
+        # loaded box (TLS handshakes, XLA compiles) can take far longer
+        # than a protocol round (accept_all mirrors this on the king).
+        got = self.link.recv(0, max(timeout, synack_timeout))
+        if got is None or got[1] != _SYNACK:
+            raise TimeoutError(f"SynAck barrier failed for party {party_id}")
 
     def send(self, payload: bytes, channel: int):
         self.link.send(channel, self.party_id, payload)
