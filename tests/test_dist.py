@@ -210,3 +210,44 @@ def test_d_pp(pp):
     out = d_pp(pp, nshares, dshares, mask, net, k4)
     got = unpack_natural(pp, out)
     assert got == expect
+
+
+def test_d_pp_blinded(pp):
+    """d_pp with real telescoping blinding (PpBlind) — the fix for the
+    reference's dummy s=1 (dpp/mod.rs:24-26): same partial products,
+    while every numerator the king can reconstruct past the first is
+    multiplicatively blinded by a random r_{i-1}."""
+    from zksaas_tpu.dist import PpBlind
+
+    F = pp.F
+    rng = random.Random(39)
+    m = 2 * L
+    nums = [rng.randrange(1, SPEC.p) for _ in range(m)]
+    dens = [rng.randrange(1, SPEC.p) for _ in range(m)]
+    expect = []
+    acc = 1
+    for x, y in zip(nums, dens):
+        acc = acc * x * pow(y, -1, SPEC.p) % SPEC.p
+        expect.append(acc)
+    key = jax.random.PRNGKey(49)
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    nshares = pp.pack(F.encode(np.asarray(nums, dtype=object).reshape(-1, L)), pp.rand_pads(k1, (m // L,)))
+    dshares = pp.pack(F.encode(np.asarray(dens, dtype=object).reshape(-1, L)), pp.rand_pads(k2, (m // L,)))
+    nshares = jnp.swapaxes(nshares, 0, 1)
+    dshares = jnp.swapaxes(dshares, 0, 1)
+    blind = PpBlind.sample(pp, m // L, k5)
+    # what the king can reconstruct from the blinded gather: r_{i-1}*num_i
+    vis = list(
+        F.decode(
+            pp.unpack2(
+                jnp.swapaxes(F.mul(nshares, blind.num), 0, 1)
+            ).reshape(-1, F.k)
+        )
+    )
+    assert vis[0] == nums[0]  # r_0 = 1 by construction
+    assert all(vis[i] != nums[i] for i in range(1, m))  # blinded w.p. 1
+    mask = DegRedMask.sample(pp, m // L, k3)
+    net = LocalNet(pp.n)
+    out = d_pp(pp, nshares, dshares, mask, net, k4, blind=blind)
+    got = unpack_natural(pp, out)
+    assert got == expect

@@ -1,7 +1,7 @@
 from .dfft import FftMask, d_fft, d_ifft, fft1_local, fft2_king
 from .deg_red import DegRedMask, deg_red
 from .dmsm import MsmMask, d_msm, d_msm_local, d_msm_reduce
-from .dpp import d_pp
+from .dpp import PpBlind, d_pp
 
 __all__ = [
     "FftMask",
@@ -16,4 +16,5 @@ __all__ = [
     "d_msm_local",
     "d_msm_reduce",
     "d_pp",
+    "PpBlind",
 ]
