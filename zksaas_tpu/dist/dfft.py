@@ -133,24 +133,29 @@ class _FftKing:
     rearrange: bool
 
     def __call__(self, shares_and_key, parties):
+        """shares: (n_present, *B, m/l, K) — extra batch dims between the
+        party and chunk axes carry independent transforms (e.g. the
+        a/b/c polynomials batched into ONE round instead of the
+        reference's three channels, ext_wit.rs:62-74)."""
         shares, key = shares_and_key
         pp = self.pp
         F = pp.F
         mbyl = self.m // pp.l
-        # (n_present, m/l, K) -> chunk-major (m/l, n_present, K)
-        sh = jnp.swapaxes(shares, 0, 1)
-        secrets = pp.unpack_missing_shares(sh, parties)  # (m/l, l, K)
-        s1 = secrets.reshape(self.m, F.k)  # s1[i*l + j] = secret j of chunk i
+        lead = shares.shape[1:-2]
+        # (n_present, *B, m/l, K) -> chunk-major (*B, m/l, n_present, K)
+        sh = jnp.moveaxis(shares, 0, -2)
+        secrets = pp.unpack_missing_shares(sh, parties)  # (*B, m/l, l, K)
+        s1 = secrets.reshape(lead + (self.m, F.k))  # [i*l + j] = secret j of chunk i
         s1 = fft2_king(pp, s1, self.gen)
         if self.g != 1:
             s1 = _distribute_powers(F, s1, self.g, self.m)
         if self.rearrange:
             s1 = jnp.take(s1, jnp.asarray(rearrange_perm(self.m)), axis=-2)
-            chunks = stride_chunks(s1, pp.l)  # (m/l, l, K)
+            chunks = stride_chunks(s1, pp.l)  # (*B, m/l, l, K)
         else:
-            chunks = s1.reshape(mbyl, pp.l, F.k)
-        out = pp.pack(chunks, pp.rand_pads(key, (mbyl,)))  # (m/l, n, K)
-        return jnp.swapaxes(out, 0, 1)  # (n, m/l, K)
+            chunks = s1.reshape(lead + (mbyl, pp.l, F.k))
+        out = pp.pack(chunks, pp.rand_pads(key, lead + (mbyl,)))  # (*B, m/l, n, K)
+        return jnp.moveaxis(out, -2, 0)  # (n, *B, m/l, K)
 
 
 # ---------------------------------------------------------------------------
@@ -295,38 +300,42 @@ def _powers_table(spec: FieldSpec, g: int, m: int):
 
 
 def _fft2_sharded(pp, xm, rearrange, g, gen, net, key):
-    """xm: (m/l, K) THIS party's masked post-fft1 shares (inside
-    shard_map over net.axis).  Returns this party's fresh shares."""
+    """xm: (*B, m/l, K) THIS party's masked post-fft1 shares (inside
+    shard_map over net.axis); leading batch dims carry independent
+    transforms (the batched a/b/c channels).  Returns this party's
+    fresh shares, same shape."""
     F = pp.F
     n = pp.n
     mbyl = xm.shape[-2]
     m = mbyl * pp.l
     l = pp.l
     C = mbyl // n
+    lead = xm.shape[:-2]
+    nb = len(lead)
     me = jax.lax.axis_index(net.axis)
 
     # 1. redistribute: my shares of chunk-range e -> device e
-    blocks = xm.reshape(n, C, F.k)
-    recv = jax.lax.all_to_all(blocks, net.axis, split_axis=0, concat_axis=0)
-    sh = jnp.swapaxes(recv, 0, 1)  # (C, n, K): all parties' shares of MY chunks
-    secrets = pp.unpack2(sh)  # (C, l, K)
+    blocks = xm.reshape(lead + (n, C, F.k))
+    recv = jax.lax.all_to_all(blocks, net.axis, split_axis=nb, concat_axis=nb)
+    sh = jnp.swapaxes(recv, -3, -2)  # (*B, C, n, K): all shares of MY chunks
+    secrets = pp.unpack2(sh)  # (*B, C, l, K)
 
     # 2. per-chunk stage-composition matrix
     Tall = jnp.asarray(_fft2_mats_enc(pp.spec, m, l, gen))  # (m/l, l, l, K)
     Tmine = jax.lax.dynamic_slice_in_dim(Tall, me * C, C, axis=0)
-    prod = F.mul(Tmine, secrets[:, None, :, :])  # (C, l, l, K)
-    vals = F.sum(prod, axis=-1)  # (C, l, K): [c, q] = stage-out at q*(m/l)+me*C+c
-    S = jnp.swapaxes(vals, 0, 1)  # (l, C, K) stripe-major
+    prod = F.mul(Tmine, secrets[..., None, :, :])  # (*B, C, l, l, K)
+    vals = F.sum(prod, axis=-1)  # (*B, C, l, K): [c, q] = stage-out at q*(m/l)+me*C+c
+    S = jnp.swapaxes(vals, -3, -2)  # (*B, l, C, K) stripe-major
 
     # 3. roll by 1 in x order: each column shifts right; column 0 takes
     # the previous device's last column (stripe-shifted on device 0,
     # where the stripe index decrements across the wrap)
-    last_col = S[:, -1]  # (l, K)
+    last_col = S[..., -1, :]  # (*B, l, K)
     prev_last = jax.lax.ppermute(
         last_col, net.axis, [(i, (i + 1) % n) for i in range(n)]
     )
-    first_col = jnp.where(me == 0, jnp.roll(prev_last, 1, axis=0), prev_last)
-    S = jnp.concatenate([first_col[:, None], S[:, :-1]], axis=1)
+    first_col = jnp.where(me == 0, jnp.roll(prev_last, 1, axis=-2), prev_last)
+    S = jnp.concatenate([first_col[..., None, :], S[..., :-1, :]], axis=-2)
 
     # 4. coset powers at global position x = q*(m/l) + me*C + c
     if g != 1:
@@ -338,15 +347,17 @@ def _fft2_sharded(pp, xm, rearrange, g, gen, net, key):
     gi, ko, rp = _sharded_fft_tables(m, l, n, rearrange)
     gi_me = jnp.take(jnp.asarray(gi), me, axis=0)  # (C, l)
     ko_me = jnp.take(jnp.asarray(ko), me, axis=0)  # (C,)
-    flat = S.reshape(l * C, F.k)
-    chunks = jnp.take(flat, gi_me.reshape(-1), axis=0).reshape(C, l, F.k)
-    pads = pp.rand_pads(key, (mbyl,))
-    my_pads = jnp.take(pads, ko_me, axis=0)
-    out = pp.pack(chunks, my_pads)  # (C, n, K)
+    flat = S.reshape(lead + (l * C, F.k))
+    chunks = jnp.take(flat, gi_me.reshape(-1), axis=-2).reshape(lead + (C, l, F.k))
+    pads = pp.rand_pads(key, lead + (mbyl,))
+    my_pads = jnp.take(pads, ko_me, axis=-3)
+    out = pp.pack(chunks, my_pads)  # (*B, C, n, K)
 
     # 6. scatter + static receiver reorder to canonical out-chunk order
-    back = jax.lax.all_to_all(out, net.axis, split_axis=1, concat_axis=0)
-    return jnp.take(back.reshape(mbyl, F.k), jnp.asarray(rp), axis=0)
+    back = jax.lax.all_to_all(out, net.axis, split_axis=nb + 1, concat_axis=nb)
+    return jnp.take(
+        back.reshape(lead + (mbyl, F.k)), jnp.asarray(rp), axis=-2
+    )
 
 
 @functools.cache
@@ -368,9 +379,11 @@ def _fft2_with_rearrange(pp, px, mask, rearrange, g, gen, net, key, channel):
     m = px.shape[-2] * pp.l
     out = F.add(px, mask.in_mask)
     mbyl = m // pp.l
+    # under SpmdNet per-device data never carries a party axis, so any
+    # leading dims are independent-transform batches (handled by the
+    # sharded path directly)
     if (
         getattr(net, "axis", None) is not None
-        and px.ndim == 2
         and mbyl % pp.n == 0
         and (mbyl // pp.n) % pp.l == 0
         and m >= pp.l * pp.l

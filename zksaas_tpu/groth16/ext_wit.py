@@ -9,17 +9,36 @@ Two variants, matching the reference exactly:
   1 DegRedMask.
 
 The reference overlaps the three transforms on 3 multiplexed channels
-(tokio::try_join, ext_wit.rs:62-74); here the three run in one traced
-program and XLA overlaps them (channel tags are advisory)."""
+(tokio::try_join, ext_wit.rs:62-74); the TPU-native form goes further:
+a/b/c are STACKED on a batch axis and run as ONE d_ifft / ONE d_fft —
+one protocol round (one all_gather or one pair of all_to_alls) moving
+all three channels' bytes, and 3x-wider butterfly/mat-vec kernels.
+Three sockets' worth of concurrency becomes one bigger SPMD program,
+which is the shape both the VPU and the ICI want."""
 
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 
 from ..dist.deg_red import DegRedMask, deg_red
 from ..dist.dfft import FftMask, d_fft, d_ifft
 from ..pss.pss import PackedSharingParams
 from .qap import PackedQAPShare
+
+
+def _stack_abc(qap_share: PackedQAPShare):
+    """(..., nch, K) x3 -> (..., 3, nch, K): the batch axis sits just
+    before the chunk axis so it rides through the party-axis handling
+    of every net backend unchanged."""
+    return jnp.stack([qap_share.a, qap_share.b, qap_share.c], axis=-3)
+
+
+def _stack_masks(masks) -> FftMask:
+    return FftMask(
+        in_mask=jnp.stack([m.in_mask for m in masks], axis=-3),
+        out_mask=jnp.stack([m.out_mask for m in masks], axis=-3),
+    )
 
 
 def circom_h(
@@ -33,18 +52,17 @@ def circom_h(
     F = pp.F
     dom = qap_share.dom
     root2m = pp.spec.root_of_unity(2 * dom.n)
-    ks = jax.random.split(key, 7)
+    ks = jax.random.split(key, 3)
 
-    a = d_ifft(pp, qap_share.a, fft_masks[0], True, dom, root2m, net, ks[0], 0)
-    b = d_ifft(pp, qap_share.b, fft_masks[1], True, dom, root2m, net, ks[1], 1)
-    c = d_ifft(pp, qap_share.c, fft_masks[2], True, dom, root2m, net, ks[2], 2)
+    abc = _stack_abc(qap_share)
+    abc = d_ifft(pp, abc, _stack_masks(fft_masks[0:3]), True, dom, root2m, net, ks[0], 0)
+    abc = d_fft(pp, abc, _stack_masks(fft_masks[3:6]), False, dom, net, ks[1], 0)
 
-    a = d_fft(pp, a, fft_masks[3], False, dom, net, ks[3], 0)
-    b = d_fft(pp, b, fft_masks[4], False, dom, net, ks[4], 1)
-    c = d_fft(pp, c, fft_masks[5], False, dom, net, ks[5], 2)
-
+    a, b, c = (
+        jnp.take(abc, i, axis=-3) for i in range(3)
+    )
     h_eval = F.sub(F.mul(a, b), c)
-    return deg_red(pp, h_eval, degred_mask, net, ks[6], 0)
+    return deg_red(pp, h_eval, degred_mask, net, ks[2], 0)
 
 
 def libsnark_h(
@@ -58,21 +76,18 @@ def libsnark_h(
     dom = qap_share.dom
     g = pp.spec.generator  # coset offset
     g_inv = pow(g, -1, pp.spec.p)
-    ks = jax.random.split(key, 7)
+    ks = jax.random.split(key, 3)
 
-    a = d_ifft(pp, qap_share.a, fft_masks[0], True, dom, g, net, ks[0], 0)
-    b = d_ifft(pp, qap_share.b, fft_masks[1], True, dom, g, net, ks[1], 1)
-    c = d_ifft(pp, qap_share.c, fft_masks[2], True, dom, g, net, ks[2], 2)
-
-    a = d_fft(pp, a, fft_masks[3], True, dom, net, ks[3], 0)
-    b = d_fft(pp, b, fft_masks[4], True, dom, net, ks[4], 1)
-    c = d_fft(pp, c, fft_masks[5], True, dom, net, ks[5], 2)
+    abc = _stack_abc(qap_share)
+    abc = d_ifft(pp, abc, _stack_masks(fft_masks[0:3]), True, dom, g, net, ks[0], 0)
+    abc = d_fft(pp, abc, _stack_masks(fft_masks[3:6]), True, dom, net, ks[1], 0)
 
     z_inv = pow(dom.evaluate_vanishing_polynomial(g), -1, pp.spec.p)
+    a, b, c = (jnp.take(abc, i, axis=-3) for i in range(3))
     h_eval = F.muli(F.sub(F.mul(a, b), c), z_inv)
 
     # coset ifft back to coefficients
-    return d_ifft(pp, h_eval, fft_masks[6], False, dom, g_inv, net, ks[6], 0)
+    return d_ifft(pp, h_eval, fft_masks[6], False, dom, g_inv, net, ks[2], 0)
 
 
 def circom_masks(pp: PackedSharingParams, m: int, key):
