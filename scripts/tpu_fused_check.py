@@ -117,13 +117,43 @@ def main():
     got = C.decode(tuple(c[None] for c in msm_pippenger(C, Pz, ss)))[0]
     want = C.ref.msm(
         [
-            C.ref.infinity if i % 7 == 0 else C.ref.mul(pts[i % 6], 2)
+            None if i % 7 == 0 else C.ref.mul(pts[i % 6], 2)
             for i in range(ms)
         ],
         s_ints,
     )
     assert got == want, f"PIPPENGER Z/INF MSM MISMATCH: {got} != {want}"
     print(f"pippenger msm (general-Z + inf) == oracle ({time.time()-t0:.1f}s)", flush=True)
+
+    # forced scan-path: the deep-tree lax.scan levels (production fast
+    # path at bench sizes) under a small scan width so ku < L even at
+    # m=256 — covers stale-lane recycling + the ys[l-ku-1] query
+    # indexing on the real kernels (CPU-suite versions of these are
+    # @slow: the XLA:CPU compiles are prohibitive)
+    from zksaas_tpu.curves import pippenger as pip
+
+    old_scanw, old_maxvirt = pip._SCAN_W_MIN, pip.MAX_VIRT
+    try:
+        pip._SCAN_W_MIN = 256
+        jax.clear_caches()
+        t0 = time.time()
+        got = C.decode(tuple(c[None] for c in msm_pippenger(C, Ps, ss)))[0]
+        want = C.ref.msm([pts[i % 6] for i in range(ms)], s_ints)
+        assert got == want, f"PIPPENGER SCAN-PATH MISMATCH: {got} != {want}"
+        print(f"pippenger msm (forced scan path) == oracle ({time.time()-t0:.1f}s)", flush=True)
+
+        # forced HBM chunking: m > MAX_VIRT splits into sort-sized
+        # chunks whose partial MSMs are summed
+        pip._SCAN_W_MIN = old_scanw
+        pip.MAX_VIRT = 128
+        jax.clear_caches()
+        t0 = time.time()
+        got = C.decode(tuple(c[None] for c in msm_pippenger(C, Ps, ss)))[0]
+        assert got == want, f"PIPPENGER CHUNKING MISMATCH: {got} != {want}"
+        print(f"pippenger msm (forced chunking) == oracle ({time.time()-t0:.1f}s)", flush=True)
+    finally:
+        pip._SCAN_W_MIN, pip.MAX_VIRT = old_scanw, old_maxvirt
+        jax.clear_caches()
 
     # MSM bench
     m = int(os.environ.get("BENCH_MSM_SIZE", 1 << 14))

@@ -60,6 +60,17 @@ def test_msm_vs_oracle():
     assert got == ref.msm(pts, scalars)
 
 
+# NOTE: the Pippenger deep-tree scan path and the m > MAX_VIRT HBM
+# chunking fallback have NO CPU tests: XLA:CPU cannot compile the fused
+# planes kernels at any useful width in CI time (measured > 50 min for
+# a single m=16 MSM even with WINDOW=4; eager/disable_jit is just as
+# bad at ~10^5 dispatched ops).  Their oracles run ON THE CHIP instead:
+# scripts/tpu_fused_check.py asserts msm_pippenger == host big-int
+# oracle with a forced small scan width (ku < L, stale-lane recycling
+# live) and a forced-small MAX_VIRT (chunk-and-sum path) — part of the
+# /verify surface.
+
+
 def test_matvec():
     C = curve_g1()
     ref = C.ref

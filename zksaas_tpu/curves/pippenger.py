@@ -70,8 +70,14 @@ WINDOW = int(os.environ.get("ZKSAAS_MSM_WINDOW", 8))
 MAX_VIRT = 1 << int(os.environ.get("ZKSAAS_MSM_MAXVIRT", 19))
 # floor for the deep-tree-levels fixed scan width (one pallas block =
 # 1024 lanes; smaller only makes sense for exercising the scan path in
-# tiny-m tests)
+# tiny-m tests).  Must be a power of two: the ku derivation below
+# ((V // scan_w).bit_length() - 1) and the scan carry width both assume
+# it — a stray value would surface as an opaque shape mismatch at
+# compile time.
 _SCAN_W_MIN = int(os.environ.get("ZKSAAS_MSM_SCANW", 1024))
+assert _SCAN_W_MIN >= 2 and _SCAN_W_MIN & (_SCAN_W_MIN - 1) == 0, (
+    f"ZKSAAS_MSM_SCANW must be a power of two >= 2, got {_SCAN_W_MIN}"
+)
 # cap doublings fused into one kernel: each fused double is ~7 field
 # muls of kernel body, and every distinct k is its own Mosaic compile
 # (~5-15 s); k in {8, 16} covers the Horner folds with two small bodies
@@ -165,9 +171,23 @@ def msm_pippenger(curve: JCurve, P, scalars_mont):
     fr = curve.fr
     spec = curve.R.F.spec
     ncoord = curve._ncoord
-    raw = fr.from_mont(scalars_mont)  # (m, Kr)
-    m = raw.shape[0]
+    m = scalars_mont.shape[0]
     assert m & (m - 1) == 0, "pippenger path expects power-of-two m (pad with zeros)"
+    if m > MAX_VIRT:
+        # HBM-tiled fallback: the in-VMEM bitonic sort (fields/sortperm.py)
+        # holds at most MAX_VIRT keys, so beyond that split the point axis
+        # into MAX_VIRT-point chunks — each a full Pippenger — and sum the
+        # chunk results (m/MAX_VIRT - 1 extra complete adds, negligible).
+        acc = None
+        for i in range(0, m, MAX_VIRT):
+            part = msm_pippenger(
+                curve,
+                tuple(co[i : i + MAX_VIRT] for co in P),
+                scalars_mont[i : i + MAX_VIRT],
+            )
+            acc = part if acc is None else curve.add(acc, part)
+        return acc
+    raw = fr.from_mont(scalars_mont)  # (m, Kr)
     c = WINDOW
     nbits = fr.spec.bits
     n_windows = -(-nbits // c)
