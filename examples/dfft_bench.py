@@ -49,19 +49,25 @@ def main(lo: int = 16, hi: int = 16):
         shares = jnp.swapaxes(pp.pack(evals, pp.rand_pads(k2, (m // pp.l,))), 0, 1)
         mask = FftMask.sample(False, 1, dom.group_gen_inv, m, pp, k3)
 
-        def run(k):
-            out = d_ifft(pp, shares, mask, False, dom, 1, net, k)
-            np.asarray(jax.device_get(out[0, 0]))
-            return out
+        from zksaas_tpu.utils.cache import export_cached
+
+        def step(shares, in_mask, out_mask, k):
+            mk = FftMask(in_mask=in_mask, out_mask=out_mask)
+            return d_ifft(pp, shares, mk, False, dom, 1, net, k)
 
         t0 = time.time()
-        run(key)
+        fn = export_cached(
+            f"difft-{m}", step, shares, mask.in_mask, mask.out_mask, key
+        )
+        out = fn(shares, mask.in_mask, mask.out_mask, key)
+        np.asarray(jax.device_get(out[0, 0]))
         compile_s = time.time() - t0
         times = []
         for i in range(3):
             kk = jax.random.fold_in(key, i)
             t0 = time.time()
-            run(kk)
+            out = fn(shares, mask.in_mask, mask.out_mask, kk)
+            np.asarray(jax.device_get(out[0, 0]))
             times.append(time.time() - t0)
         dt = min(times)
         print(

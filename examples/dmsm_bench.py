@@ -52,22 +52,30 @@ def main(lo: int = 10, hi: int = 13):
         fp = jnp.swapaxes(pp.pack(scal, pp.rand_pads(k1, (m // pp.l,))), 0, 1)
         mask = MsmMask.sample(pp, C, k2)
 
-        def run():
-            out = d_msm(pp, C, gp, fp, mask, net)
-            np.asarray(jax.device_get(out[2]))
-            return out
+        from zksaas_tpu.utils.cache import export_cached
+
+        # whole-protocol step as ONE exported program: reruns at any
+        # size skip Python tracing (the dominant cold cost)
+        def step(gp, fp, in_mask, out_mask):
+            mk = type(mask)(in_mask=in_mask, out_mask=out_mask)
+            return d_msm(pp, C, gp, fp, mk, net)
 
         t0 = time.time()
-        run()
+        fn = export_cached(
+            f"dmsm-{m}", step, gp, fp, mask.in_mask, mask.out_mask
+        )
+        out = fn(gp, fp, mask.in_mask, mask.out_mask)
+        np.asarray(jax.device_get(out[2]))
         compile_s = time.time() - t0
         t0 = time.time()
-        run()
+        out = fn(gp, fp, mask.in_mask, mask.out_mask)
+        np.asarray(jax.device_get(out[2]))
         d_msm_s = time.time() - t0
 
         # local raw MSM kernel (per-party workload is m/l points x n)
-        msm = jax.jit(C.msm)
         flatP = tuple(c.reshape((-1,) + c.shape[2:]) for c in gp)
         flats = fp.reshape(-1, F.k)
+        msm = export_cached(f"msm-flat-{m}", lambda p, s: C.msm(p, s), flatP, flats)
         np.asarray(jax.device_get(msm(flatP, flats)[2]))
         t0 = time.time()
         np.asarray(jax.device_get(msm(flatP, flats)[2]))

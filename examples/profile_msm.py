@@ -34,6 +34,7 @@ from zksaas_tpu.curves.fused import (
 from zksaas_tpu.curves.pippenger import (
     MAX_VIRT,
     WINDOW,
+    _deinter,
     _pbatch_inv,
     _psum_seg,
     _to_affine_planes,
@@ -113,17 +114,20 @@ def main():
     Sx = bench(f"gather Pstack (2npl={2*npl}, V)", gat, Pstack, order)
 
     # --- paddaa at V/2 ---
+    # deinterleave with _deinter (reshape form), matching the production
+    # hot loop: stride-2 lane slices (sx[:, 0::2]) lower into a
+    # pathological XLA:TPU relayout — the BENCH_r02/r03 regression —
+    # and timing them here would misattribute the shipped code path.
     Sinf = jnp.zeros((V,), jnp.uint32)
-    f_aa = jax.jit(
-        lambda sx, si: paddaa(
-            spec,
-            ncoord,
-            (sx[:npl, 0::2], sx[npl:, 0::2]),
-            (sx[:npl, 1::2], sx[npl:, 1::2]),
-            si[0::2],
-            si[1::2],
+
+    def f_aa_body(sx, si):
+        lo, hi = _deinter(sx)
+        ilo, ihi = _deinter(si)
+        return paddaa(
+            spec, ncoord, (lo[:npl], lo[npl:]), (hi[:npl], hi[npl:]), ilo, ihi
         )
-    )
+
+    f_aa = jax.jit(f_aa_body)
     lvl1 = bench(f"paddaa width {V//2}", f_aa, Sx, Sinf)
     cur = jnp.concatenate(lvl1, axis=0)
 
@@ -131,11 +135,13 @@ def main():
     def unstack3(s):
         return tuple(s[i * npl : (i + 1) * npl] for i in range(3))
 
-    f_add = jax.jit(
-        lambda x: jnp.concatenate(
-            padd(spec, ncoord, unstack3(x[:, 0::2]), unstack3(x[:, 1::2])), axis=0
+    def f_add_body(x):
+        lo, hi = _deinter(x)
+        return jnp.concatenate(
+            padd(spec, ncoord, unstack3(lo), unstack3(hi)), axis=0
         )
-    )
+
+    f_add = jax.jit(f_add_body)
     w = V // 2
     total_tree = 0.0
     while w > 1:
