@@ -34,6 +34,12 @@ from queue import Empty, Queue
 _HDR = struct.Struct("<IIQ")  # channel, party, length
 _SYN = b"\x01SYN"
 _SYNACK = b"\x02ACK"
+# Reserved control channel for the Syn/SynAck barrier: SYNs RETRANSMIT
+# until acked (under load, a TLS 1.3 client finishes its handshake one
+# round-trip before the server and its first record can sit unread
+# through the server-side wrap — observed as a lost first SYN), so
+# duplicates must be routable away from protocol data channels.
+_CTRL = 0xFFFFFFFF
 
 
 @dataclass
@@ -106,6 +112,39 @@ class _Demux:
         self.sock.sendall(_HDR.pack(channel, party, len(payload)) + payload)
 
 
+def _read_frame(sock: socket.socket):
+    """Blocking read of one complete frame from `sock` on the CALLING
+    thread (bring-up only; steady state reads happen in _Demux).
+    Returns (channel, party, payload), or None if the socket timeout
+    expires before the first byte (safe to retry/resend); once a frame
+    starts arriving it is read to completion (peers write frames
+    atomically via sendall)."""
+    buf = b""
+    started = False
+    while len(buf) < _HDR.size:
+        try:
+            chunk = sock.recv(_HDR.size - len(buf))
+        except (TimeoutError, socket.timeout):
+            if not started:
+                return None
+            continue  # mid-frame: the rest is already in flight
+        if not chunk:
+            raise ConnectionError("peer closed during bring-up")
+        buf += chunk
+        started = True
+    channel, party, length = _HDR.unpack(buf)
+    body = b""
+    while len(body) < length:
+        try:
+            chunk = sock.recv(length - len(body))
+        except (TimeoutError, socket.timeout):
+            continue
+        if not chunk:
+            raise ConnectionError("peer closed during bring-up")
+        body += chunk
+    return channel, party, body
+
+
 def make_self_signed_cert(common_name: str = "zksaas-node"):
     """Self-signed cert + key PEM bytes (gen_cert.rs analog)."""
     import datetime
@@ -146,6 +185,12 @@ def _tls_server_ctx(certfile, keyfile, peer_certs):
     ctx.verify_mode = ssl.CERT_REQUIRED  # mutual TLS, pinned roots
     for c in peer_certs:
         ctx.load_verify_locations(c)
+    # No TLS 1.3 session tickets: post-handshake ticket records are
+    # processed inside later SSL_read/SSL_write calls, which is exactly
+    # the window where the steady-state one-reader/one-writer pattern
+    # on a shared SSL object becomes unsafe (observed: lost first
+    # frames and an interpreter segfault under load).
+    ctx.num_tickets = 0
     return ctx
 
 
@@ -178,32 +223,44 @@ class StarKing:
 
     def accept_all(self, accept_timeout: float = 120.0):
         """Bring-up is bounded separately from the per-round timeout —
-        peers may take long to start (process spawn, TLS handshakes)."""
+        peers may take long to start (process spawn, TLS handshakes).
+
+        The whole id exchange + SynAck barrier runs SINGLE-THREADED on
+        each socket (demux reader threads start only afterwards):
+        touching a freshly wrapped SSL socket from two threads — main
+        writing the barrier while a reader blocks in SSL_read — is
+        undefined in OpenSSL and was observed to lose frames and
+        segfault the interpreter under load."""
         self._srv.settimeout(accept_timeout)
         n_links = self.n - 1
+        deadline = time.time() + accept_timeout
+        pending: dict[int, socket.socket] = {}
         for _ in range(n_links):
             conn, _ = self._srv.accept()
             if self._tls is not None:
                 conn = self._tls.wrap_socket(conn, server_side=True)
-            _Demux(conn, sink=self._inbox)  # thread registers via SYN below
-        # id exchange: each client sends its party id on channel 0; the
-        # inbox frame carries the producing demux, giving pid -> socket
-        deadline = time.time() + accept_timeout
-        while len(self.links) < n_links:
-            try:
-                channel, pid, payload, demux = self._inbox.get(
-                    timeout=max(0.01, deadline - time.time())
-                )
-            except Empty:
-                raise TimeoutError(
-                    f"id exchange: {len(self.links)}/{n_links} SYNs within {accept_timeout}s"
-                ) from None
-            assert channel == 0 and payload == _SYN, "bad id-exchange frame"
-            assert pid not in self.links, f"duplicate party id {pid}"
-            self.links[pid] = demux
-        # SynAck barrier: release everyone only once all are connected
-        for pid, demux in self.links.items():
-            demux.send(0, 0, _SYNACK)
+            # read this link's SYN synchronously (clients retransmit
+            # every 2 s until acked, so skip duplicates)
+            while True:
+                if time.time() >= deadline:
+                    raise TimeoutError(
+                        f"id exchange: {len(pending)}/{n_links} SYNs within {accept_timeout}s"
+                    )
+                conn.settimeout(max(0.01, deadline - time.time()))
+                got = _read_frame(conn)
+                if got is None:
+                    continue
+                ch, pid, payload = got
+                assert ch == _CTRL and payload == _SYN, "bad id-exchange frame"
+                if pid not in pending:
+                    break
+            pending[pid] = conn
+        # SynAck barrier: release everyone only once all are connected,
+        # then hand each socket to its (single) reader thread
+        for pid, conn in pending.items():
+            conn.sendall(_HDR.pack(_CTRL, 0, len(_SYNACK)) + _SYNACK)
+            conn.settimeout(None)
+            self.links[pid] = _Demux(conn, sink=self._inbox)
 
     def _next_frame(self, channel: int, timeout: float):
         """Pop the next frame for `channel`, consulting the stash first;
@@ -221,6 +278,8 @@ class StarKing:
                 ch, party, body, _ = self._inbox.get(timeout=remaining)
             except Empty:
                 return None
+            if ch == _CTRL:
+                continue  # stray retransmitted SYN after the barrier
             if ch == channel:
                 return party, body
             self._stash.setdefault(ch, []).append((party, body))
@@ -291,15 +350,26 @@ class StarClient:
             raise last
         if tls_ctx is not None:
             sock = tls_ctx.wrap_socket(sock)
-        self.link = _Demux(sock)
-        self.link.send(0, party_id, _SYN)
-        # Bring-up is bounded separately from the per-round timeout: the
-        # SynAck only arrives after ALL n-1 peers connect, which on a
-        # loaded box (TLS handshakes, XLA compiles) can take far longer
-        # than a protocol round (accept_all mirrors this on the king).
-        got = self.link.recv(0, max(timeout, synack_timeout))
-        if got is None or got[1] != _SYNACK:
+        # Bring-up runs single-threaded on this socket (no demux reader
+        # yet — see StarKing.accept_all).  Bounded separately from the
+        # per-round timeout: the SynAck only arrives after ALL n-1
+        # peers connect, which on a loaded box (TLS handshakes, XLA
+        # compiles) can take far longer than a protocol round.  The SYN
+        # retransmits every 2 s until acked (the king reads this link
+        # only after accepting it, so an early SYN can sit unread).
+        deadline = time.time() + max(timeout, synack_timeout)
+        got = None
+        while got is None:
+            if time.time() >= deadline:
+                raise TimeoutError(f"SynAck barrier failed for party {party_id}")
+            sock.sendall(_HDR.pack(_CTRL, party_id, len(_SYN)) + _SYN)
+            sock.settimeout(min(2.0, max(0.01, deadline - time.time())))
+            got = _read_frame(sock)
+        ch, _, payload = got
+        if ch != _CTRL or payload != _SYNACK:
             raise TimeoutError(f"SynAck barrier failed for party {party_id}")
+        sock.settimeout(None)
+        self.link = _Demux(sock)
 
     def send(self, payload: bytes, channel: int):
         self.link.send(channel, self.party_id, payload)
