@@ -59,3 +59,31 @@ def dealer_state(party_id: int):
     x_all = jnp.swapaxes(mul_shares, 0, 1)  # (n, 1, K)
     mask_all = DegRedMask.sample(pp, 1, k2)
     return pp, x_all[party_id], mask_all.party(party_id), k3
+
+
+def run_client_journal(party_id: int, port: int, n: int, jdir: str, resume: bool):
+    """Journaled client: same deg_red + collection protocol, with every
+    round checkpointed to jdir; on resume, negotiate the common prefix
+    first and replay it from disk."""
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from zksaas_tpu.comm.host_net import HostStarNet
+    from zksaas_tpu.comm.journal import JournalNet
+    from zksaas_tpu.dist.deg_red import deg_red
+
+    pp, x_share, mask, key = dealer_state(party_id)
+    inner = HostStarNet.make_client(
+        n, threshold=pp.t, party_id=party_id, king_addr=("127.0.0.1", port), timeout=15.0
+    )
+    net = JournalNet(inner, jdir)
+    try:
+        if resume:
+            net.negotiate_resume()
+        out = deg_red(pp, x_share, mask, net, key)
+        net.round(out, lambda xs, parties: jnp.broadcast_to(xs[None], (n,) + xs.shape), 7)
+    finally:
+        net.close()

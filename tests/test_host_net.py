@@ -54,3 +54,71 @@ def test_host_star_deg_red(lossy):
         for p in procs:
             p.join(timeout=30)
             assert p.exitcode == 0
+
+
+def test_host_star_journal_resume(tmp_path):
+    """Checkpoint/resume across REAL processes: a full journaled run,
+    then a 'crash' that loses party 3's last record, then a restart in
+    which negotiate_resume aligns everyone on the common prefix, the
+    agreed rounds replay from disk (no traffic), and only the missing
+    round runs live — same result."""
+    import os
+
+    import numpy as np
+
+    from hostnet_worker import run_client_journal
+
+    from zksaas_tpu.comm.host_net import HostStarNet
+    from zksaas_tpu.comm.journal import JournalNet
+    from zksaas_tpu.dist.deg_red import deg_red
+    from zksaas_tpu.fields import BN254_FR, field
+
+    n = 4
+    pp, x0, mask0, key = dealer_state(0)
+    F = field(BN254_FR)
+    ctx = mp.get_context("spawn")
+    dirs = [str(tmp_path / f"party{i}") for i in range(n)]
+
+    def one_run(resume: bool):
+        inner = HostStarNet.make_king(n, threshold=pp.t, timeout=30.0)
+        procs = [
+            ctx.Process(
+                target=run_client_journal,
+                args=(i, inner.port, n, dirs[i], resume),
+                daemon=True,
+            )
+            for i in range(1, n)
+        ]
+        for p in procs:
+            p.start()
+        net = JournalNet(inner, dirs[0])
+        try:
+            inner.accept_all()
+            if resume:
+                net.negotiate_resume()
+            out0 = deg_red(pp, x0, mask0, net, key)
+            all_shares = net.round(
+                out0,
+                lambda xs, parties: jnp.broadcast_to(xs[None], (n,) + xs.shape),
+                7,
+            )
+            got = F.decode(pp.unpack(jnp.swapaxes(all_shares, 0, 1)))
+            return list(got[0]), net
+        finally:
+            net.close()
+            for p in procs:
+                p.join(timeout=60)
+                assert p.exitcode == 0
+
+    got1, net1 = one_run(resume=False)
+    assert got1 == [49]
+    total = net1.rounds
+    assert net1._recorded_len() == total
+
+    # crash analog: party 3 never durably finished its last round
+    os.unlink(os.path.join(dirs[3], f"round_{total - 1:04d}.ckpt"))
+
+    got2, net2 = one_run(resume=True)
+    assert got2 == [49]
+    assert net2.replayed == total - 1  # common prefix from disk
+    assert net2._recorded_len() == total  # missing round re-recorded

@@ -100,7 +100,13 @@ class JournalNet:
             return jnp.broadcast_to(m, (self.n_parties, 1))
 
         agreed = int(np.asarray(jax.device_get(self.inner.round(mine, king_min)))[0])
+        recorded = self._recorded_len()
         self._limit = min(self._limit, agreed)
+        # drop records past the common prefix: they will be re-executed
+        # live, and could legitimately differ (e.g. a changed survivor
+        # set routes the king through the Lagrange path)
+        for i in range(self._limit, recorded):
+            os.unlink(_record_path(self.dir, i))
         return self._limit
 
     def round(self, x, king_fn, channel: int = 0):
