@@ -86,20 +86,39 @@ def main(a_in: int = 1, b_in: int = 2):
     print(f"# dealer packing + masks: {time.time()-t0:.1f}s", file=sys.stderr)
 
     net = LocalNet(pp.n)
-    # warm-up run compiles everything
-    t0 = time.time()
-    pi = d_prove(pp, g1, g2, crs, qap_share, a_share, ax_share,
-                 r_share, s_share, masks, net, ks[6])
-    np.asarray(jax.device_get(pi[0][0]))
-    compile_and_first = time.time() - t0
-    print(f"# prove (compile + first run): {compile_and_first:.1f}s", file=sys.stderr)
+    journal_dir = os.environ.get("ZKSAAS_JOURNAL")
+    if journal_dir:
+        # checkpoint every protocol round to disk; re-running this
+        # driver with the same env RESUMES: recorded rounds replay from
+        # the journal and only unfinished rounds execute (the reported
+        # latency is then the resume cost, not a fresh prove)
+        from zksaas_tpu.comm import JournalNet
 
-    t0 = time.time()
-    pi = d_prove(pp, g1, g2, crs, qap_share, a_share, ax_share,
-                 r_share, s_share, masks, net, ks[6])
-    np.asarray(jax.device_get(pi[0][0]))
-    np.asarray(jax.device_get(pi[2][0]))
-    prove_s = time.time() - t0
+        net = JournalNet(net, journal_dir)
+        t0 = time.time()
+        pi = d_prove(pp, g1, g2, crs, qap_share, a_share, ax_share,
+                     r_share, s_share, masks, net, ks[6])
+        np.asarray(jax.device_get(pi[0][0]))
+        np.asarray(jax.device_get(pi[2][0]))
+        prove_s = time.time() - t0
+        compile_and_first = prove_s
+        print(f"# journaled prove: {prove_s:.1f}s "
+              f"({net.replayed}/{net.rounds} rounds replayed)", file=sys.stderr)
+    else:
+        # warm-up run compiles everything
+        t0 = time.time()
+        pi = d_prove(pp, g1, g2, crs, qap_share, a_share, ax_share,
+                     r_share, s_share, masks, net, ks[6])
+        np.asarray(jax.device_get(pi[0][0]))
+        compile_and_first = time.time() - t0
+        print(f"# prove (compile + first run): {compile_and_first:.1f}s", file=sys.stderr)
+
+        t0 = time.time()
+        pi = d_prove(pp, g1, g2, crs, qap_share, a_share, ax_share,
+                     r_share, s_share, masks, net, ks[6])
+        np.asarray(jax.device_get(pi[0][0]))
+        np.asarray(jax.device_get(pi[2][0]))
+        prove_s = time.time() - t0
 
     t0 = time.time()
     a = g1.decode(tuple(c[:1] for c in pp.unpack2_g(g1, pi[0])))[0]

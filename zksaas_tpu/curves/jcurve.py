@@ -156,11 +156,20 @@ class Fq2Ring:
         return self.F.decode(a)
 
 
-def _vary_like(init, like):
+def _vary_like(init, like, *extra):
     """Make a constant loop-carry init inherit the varying manual axes
-    of `like` so fori_loop carries type-match under shard_map (the
-    `x & 0` contributes nothing numerically but carries the vma)."""
-    return tuple(i ^ (c & 0) for i, c in zip(init, like))
+    of `like` (and any `extra` arrays) so fori_loop carries type-match
+    under shard_map (the `x & 0` contributes nothing numerically but
+    carries the vma).  `extra` matters when the point operand is
+    replicated but the scalars are per-party shares: the loop body's
+    output then varies through the scalar bits alone (e.g. prove_a's
+    delta_g1 * r_share)."""
+    mask = 0
+    for e in extra:
+        # scalar zero carrying e's vma (broadcasts against any coord
+        # layout, incl. G2's extra component axis)
+        mask = mask ^ jnp.min(e & 0)
+    return tuple(i ^ (c & 0) ^ mask for i, c in zip(init, like))
 
 
 class JCurve:
@@ -354,7 +363,7 @@ class JCurve:
             bit = (limb >> (jj % np.uint32(LIMB_BITS))) & 1
             return self.add_if(bit > 0, acc, P)
 
-        acc0 = _vary_like(self.infinity(self.batch_shape(P)), P)
+        acc0 = _vary_like(self.infinity(self.batch_shape(P)), P, raw)
         return jax.lax.fori_loop(0, nbits, body, acc0)
 
     @functools.partial(jax.jit, static_argnums=0)
@@ -401,7 +410,7 @@ class JCurve:
             digit = (limb >> shift) & ((1 << c) - 1)
             return self.add(acc, lookup(digit))
 
-        acc0 = _vary_like(self.infinity(self.batch_shape(P)), P)
+        acc0 = _vary_like(self.infinity(self.batch_shape(P)), P, raw)
         return jax.lax.fori_loop(0, n_windows, body, acc0)
 
     def scalar_mul_int(self, P, c: int):
